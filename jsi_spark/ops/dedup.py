@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side expressions (no Python in the hot path):
+
+- exact: hash-groupBy on normalized content; at 100 TB this is one
+  shuffle of (hash, doc_id) pairs — never the text itself.
+- MinHash + LSH: shingle → per-permutation min-hash → band buckets →
+  candidate pairs via self-join on (band, band_hash). Only docs sharing
+  a band bucket ever meet, so the pair space is output-sensitive rather
+  than O(n²).
+- n-gram Jaccard: exact similarity on shingle sets via an inverted-
+  index self-join (explode shingle → join on shingle → count per pair).
+- SimHash: 64-bit weighted-majority fingerprint; near-dup candidates
+  share one of four 16-bit chunks (Hamming ≤ 3 w.h.p. heuristic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# -- exact ---------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, content_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, dup_group_size, is_canonical): canonical = lowest id in its
+    content group. Shuffles only (content-hash, id)."""
+    w = Window.partitionBy(content_col)
+    w_rank = w.orderBy(F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("dup_group_size"),
+        (F.row_number().over(w_rank) == 1).alias("is_canonical"))
+
+
+# -- shingles ---------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (sorted for deterministic output)."""
+    toks = F.split(F.lower(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_sort(F.array_distinct(grams))
+
+
+# -- MinHash + LSH ------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_perm: int = 64,
+                      seed: int = 1337) -> Column:
+    """num_perm-wide signature: sig[j] = min over shingles of
+    xxhash64(shingle, j). One array expression, fully codegen'd."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda j: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, j, F.lit(seed)))))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        content_col: str = "text", num_perm: int = 64,
+                        bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) that collide in at
+    least one LSH band. rows/perm per band = num_perm // bands."""
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(content_col), shingle_n),
+                          num_perm).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(
+                        F.slice("_sig", b * rows_per_band + 1,
+                                rows_per_band),
+                        lambda x: x.cast("string")))).alias("bucket"))))
+        .alias("bb")).select("_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            content_col: str = "text",
+                            threshold: float = 0.7, num_perm: int = 64,
+                            bands: int = 16,
+                            shingle_n: int = 3) -> DataFrame:
+    """LSH candidates verified with exact Jaccard on shingle sets:
+    (id_a, id_b, jaccard)."""
+    pairs = lsh_candidate_pairs(df, id_col, content_col, num_perm, bands,
+                                shingle_n)
+    sh = df.select(F.col(id_col).alias("_id"),
+                   word_shingles(F.col(content_col), shingle_n)
+                   .alias("_sh"))
+    joined = (pairs
+              .join(sh.withColumnRenamed("_id", "id_a")
+                    .withColumnRenamed("_sh", "sh_a"), "id_a")
+              .join(sh.withColumnRenamed("_id", "id_b")
+                    .withColumnRenamed("_sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")
+             - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    return (joined.select("id_a", "id_b",
+                          (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# -- exact n-gram Jaccard (inverted index; oracle-friendly) -------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        content_col: str = "text", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for all pairs sharing ≥1
+    shingle. The explode→join is the classic inverted-index plan: the
+    shuffle carries (shingle, id), and only co-occurring docs meet."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.explode(word_shingles(F.col(content_col), shingle_n))
+                   .alias("sh"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                     & (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    out = (common
+           .join(sizes.select(F.col("_id").alias("id_a"),
+                              F.col("n").alias("n_a")), "id_a")
+           .join(sizes.select(F.col("_id").alias("id_b"),
+                              F.col("n").alias("n_b")), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("common")))
+                   .alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# -- SimHash -------------------------------------------------------------------------
+
+def simhash64(text: Column, seed: int = 7) -> Column:
+    """64-bit SimHash over word tokens: bit b set iff the majority of
+    token-hashes have bit b set. Pure bit-twiddling expressions."""
+    toks = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    n = F.size(toks)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.size(F.filter(
+                toks,
+                lambda t: F.shiftright(F.xxhash64(t, F.lit(seed)),
+                                       b.cast("int"))
+                .bitwiseAND(F.lit(1)) == 1)) * 2 > n,
+            F.shiftleft(F.lit(1).cast("long"), b.cast("int")))
+        .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       content_col: str = "text",
+                       chunks: int = 4) -> DataFrame:
+    """Near-dup candidates sharing ≥1 of 4 16-bit SimHash chunks,
+    with exact Hamming distance attached."""
+    width = 64 // chunks
+    h = df.select(F.col(id_col).alias("_id"),
+                  simhash64(F.col(content_col)).alias("_h"))
+    banded = h.select("_id", "_h", F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(chunks - 1)),
+        lambda c: F.struct(
+            c.alias("chunk"),
+            F.shiftright("_h", (c * width).cast("int"))
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))))
+        .alias("cb")).select("_id", "_h", "cb.chunk", "cb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a._h").alias("h_a"),
+                     F.col("b._h").alias("h_b"))
+             .distinct())
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    return pairs.select("id_a", "id_b",
+                        F.bit_count(xor).alias("hamming"))

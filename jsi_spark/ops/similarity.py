@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Query set broadcast;
+  dot products are JVM-side higher-order functions (zip_with +
+  aggregate) inside whole-stage codegen — the fact table is scanned
+  once, nothing but (query_id, vec_id, sim) is shuffled for the top-k.
+- LSH-bucketed (random hyperplanes): sign-bit sketch restricts
+  candidates to colliding buckets — the scale path when k·|queries|
+  over the full corpus is too hot.
+- IVF: coarse quantizer (hash-seeded centroids refined by one Lloyd
+  step) with nprobe-bucket search.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, rank, sim): exact top-k cosine neighbors of
+    each query vector (self excluded). ``queries`` is (query_id, qvec);
+    broadcast — the corpus is never shuffled, only the k winners per
+    query leave each partition (window over a re-partition by query_id
+    is the final, tiny shuffle)."""
+    crossed = emb.crossJoin(F.broadcast(queries))
+    sim = cosine(F.col(vec_col), F.col("qvec"))
+    scored = (crossed
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      F.round(sim, 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "sim"))
+
+
+def make_queries(emb: DataFrame, query_ids: list[int],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    return (emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qvec")))
+
+
+# -- random-hyperplane LSH -------------------------------------------------------
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 99) -> list:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list) -> Column:
+    """Sign-bit bucket id from fixed (driver-side literal) hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return bucket
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
+             k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. Same output shape as brute_force_topk."""
+    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col),
+                                                    planes))
+    qb = queries.withColumn("_bucket", lsh_bucket(F.col("qvec"), planes))
+    crossed = bucketed.join(F.broadcast(qb), "_bucket")
+    sim = cosine(F.col(vec_col), F.col("qvec"))
+    scored = (crossed.filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      F.round(sim, 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "sim"))
+
+
+# -- IVF ----------------------------------------------------------------------------
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list:
+    """Coarse quantizer: deterministic hash-sampled seeds + one Lloyd
+    refinement step (all as DataFrame aggregations)."""
+    seeds = (emb.withColumn("_h", F.pmod(F.xxhash64(id_col), 997))
+             .orderBy("_h", id_col).limit(n_centroids)
+             .select(vec_col).collect())
+    cents = [list(r[0]) for r in seeds]
+    dim = len(cents[0])
+    assigned = emb.withColumn(
+        "_c", _nearest_centroid(F.col(vec_col), cents))
+    means = (assigned.groupBy("_c")
+             .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}")
+                    for i in range(dim)],
+                  F.count(F.lit(1)).alias("n"))
+             .collect())
+    refined = list(cents)
+    for r in means:
+        refined[r["_c"]] = [r[f"m{i}"] for i in range(dim)]
+    return refined
+
+
+def _nearest_centroid(vec: Column, centroids: list) -> Column:
+    best_idx, best_sim = F.lit(0), F.lit(-1e30)
+    for i, c in enumerate(centroids):
+        s = dot(vec, F.array(*[F.lit(float(x)) for x in c])) / norm(vec)
+        best_idx = F.when(s > best_sim, F.lit(i)).otherwise(best_idx)
+        best_sim = F.when(s > best_sim, s).otherwise(best_sim)
+    return best_idx.cast("int")
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
+             k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only vectors in the nprobe closest centroid
+    cells of each query."""
+    cells = emb.withColumn("_c", _nearest_centroid(F.col(vec_col),
+                                                   centroids))
+    qrows = queries.collect()
+    probe = []
+    for q in qrows:
+        sims = []
+        qv = list(q["qvec"])
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        for i, c in enumerate(centroids):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            sims.append((sum(a * b for a, b in zip(qv, c)) / (qn * cn), i))
+        for _, i in sorted(sims, reverse=True)[:nprobe]:
+            probe.append((q["query_id"], i))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probe, "query_id long, _c int")
+    cand = (cells.join(F.broadcast(
+        probe_df.join(queries, "query_id")), "_c"))
+    sim = cosine(F.col(vec_col), F.col("qvec"))
+    scored = (cand.filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      F.round(sim, 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "sim"))

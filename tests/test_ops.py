@@ -1,0 +1,199 @@
+"""Training-data ops: dedup (exact / MinHash-LSH / n-gram Jaccard /
+SimHash), similarity search (brute-force / LSH / IVF), text analysis,
+multimodal plumbing — checked against brute-force / pandas oracles on
+the driver-provided testdata tables."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from jsi_spark.ops.dedup import (
+    exact_duplicates, minhash_near_duplicates, ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from jsi_spark.ops.similarity import (
+    brute_force_topk, hyperplanes, ivf_centroids, ivf_topk, lsh_topk,
+    make_queries,
+)
+from jsi_spark.ops.text import text_profile
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _jaccard(a: str, b: str, n=3):
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n])
+                for i in range(max(len(toks) - n + 1, 1))}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates_oracle(spark, documents):
+    # testdata has no exact text dups — inject copies under new ids
+    dup_src = (documents.filter(F.col("doc_id") < 20)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    docs = documents.unionByName(dup_src)
+    out = {r.doc_id: (r.dup_group_size, r.is_canonical)
+           for r in exact_duplicates(docs).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    sizes = pdf.groupby("text")["doc_id"].agg(["count", "min"])
+    lookup = pdf.set_index("doc_id")["text"]
+    for doc_id, (size, canon) in out.items():
+        text = lookup[doc_id]
+        assert size == sizes.loc[text, "count"]
+        assert canon == (doc_id == sizes.loc[text, "min"])
+    # the sf docs tables contain real duplicate texts
+    assert any(s > 1 for s, _ in out.values())
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, documents):
+    sub = documents.filter(F.col("doc_id") < 120).cache()
+    engine = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(sub, threshold=0.5).collect()}
+    rows = {r.doc_id: r.text for r in sub.collect()}
+    oracle = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        j = _jaccard(rows[a], rows[b])
+        if j >= 0.5:
+            oracle[(a, b)] = j
+    assert set(engine) == set(oracle)
+    for k, v in engine.items():
+        assert v == pytest.approx(oracle[k], abs=1e-9)
+
+
+def test_minhash_lsh_recall_and_precision(spark, documents):
+    sub = documents.filter(F.col("doc_id") < 300).cache()
+    found = {(r.id_a, r.id_b)
+             for r in minhash_near_duplicates(sub, threshold=0.8)
+             .collect()}
+    rows = {r.doc_id: r.text for r in sub.collect()}
+    truth = {(a, b) for a, b in itertools.combinations(sorted(rows), 2)
+             if _jaccard(rows[a], rows[b]) >= 0.8}
+    # exact-verification stage ⇒ perfect precision
+    assert found <= truth
+    # banded LSH @ (64 perms, 16 bands) on ≥0.8 jaccard: recall ≈ 1
+    if truth:
+        assert len(found) / len(truth) >= 0.9
+    # identical texts must always collide
+    ident = {(a, b) for (a, b) in truth if rows[a] == rows[b]}
+    assert ident <= found
+
+
+def test_simhash_near_dups(spark, documents):
+    sub = documents.filter(F.col("doc_id") < 300)
+    cands = simhash_candidates(sub).collect()
+    rows = {r.doc_id: r.text for r in sub.collect()}
+    # identical docs have hamming 0 and must be candidates
+    ident = {(a, b) for a, b in itertools.combinations(sorted(rows), 2)
+             if rows[a] == rows[b]}
+    got = {(r.id_a, r.id_b) for r in cands}
+    zero = {(r.id_a, r.id_b) for r in cands if r.hamming == 0}
+    assert ident <= got
+    assert ident <= zero
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    qids = [0, 1, 2]
+    out = brute_force_topk(embeddings, make_queries(embeddings, qids),
+                           k=5).collect()
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    mat = np.array(pdf["embedding"].tolist())
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in qids:
+        sims = mat_n @ mat_n[list(ids).index(q)]
+        order = sorted(
+            [(round(float(s), 6), int(i)) for s, i in zip(sims, ids)
+             if i != q], key=lambda t: (-t[0], t[1]))[:5]
+        got = sorted([(r.sim, r.vec_id) for r in out
+                      if r.query_id == q],
+                     key=lambda t: (-t[0], t[1]))
+        assert [i for _, i in got] == [i for _, i in order]
+
+
+def test_lsh_and_ivf_recall(spark, embeddings):
+    qids = [3, 7, 11, 19]
+    queries = make_queries(embeddings, qids)
+    exact = brute_force_topk(embeddings, queries, k=10).collect()
+    truth = {q: {r.vec_id for r in exact if r.query_id == q}
+             for q in qids}
+
+    planes = hyperplanes(dim=64, n_planes=8)
+    approx = lsh_topk(embeddings, queries, planes, k=10).collect()
+    lsh_recall = sum(
+        len({r.vec_id for r in approx if r.query_id == q} & truth[q])
+        for q in qids) / (10 * len(qids))
+
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    ivf = ivf_topk(embeddings, queries, cents, k=10, nprobe=3).collect()
+    ivf_recall = sum(
+        len({r.vec_id for r in ivf if r.query_id == q} & truth[q])
+        for q in qids) / (10 * len(qids))
+
+    # approximate paths trade recall for candidate pruning; floors are
+    # intentionally loose — the structural contract is "subset of corpus,
+    # correct shape, non-trivial recall"
+    assert lsh_recall >= 0.3, f"LSH recall {lsh_recall}"
+    assert ivf_recall >= 0.5, f"IVF recall {ivf_recall}"
+
+
+def test_text_profile_oracle(spark, documents):
+    out = text_profile(documents.limit(50)).collect()
+    texts = {r.doc_id: r.text
+             for r in documents.limit(50).collect()}
+    for r in out:
+        t = texts[r.doc_id]
+        assert r.ws_tokens == len(t.split())
+        assert r.pred_lang in ("en", "es", "de", "fr", "und")
+        assert 0.0 <= r.quality <= 1.0
+        assert r.fingerprint >= 0
+    # deterministic: same text ⇒ same fingerprint
+    by_text = {}
+    for r in out:
+        by_text.setdefault(texts[r.doc_id], set()).add(r.fingerprint)
+    assert all(len(v) == 1 for v in by_text.values())
+
+
+def test_multimodal_plumbing(spark):
+    from jsi_spark.datagen import gen_media_dim
+    from jsi_spark.ops.multimodal import (
+        extract_features, resize_images, synth_media,
+    )
+
+    media = synth_media(gen_media_dim(spark, 200))
+    feats = extract_features(media).collect()
+    assert len(feats) == 200
+    for r in feats[:20]:
+        assert len(r.features) == 16
+        assert all(-1.0 <= f <= 1.0 for f in r.features)
+        if r.media_kind == "image":
+            assert r.n_frames == 1
+        else:
+            assert r.n_frames >= 1
+    # determinism across runs
+    again = {r.media_ref: r.features
+             for r in extract_features(media).collect()}
+    for r in feats:
+        assert again[r.media_ref] == r.features
+
+    resized = resize_images(media).filter(
+        F.col("media_kind") == "image").collect()
+    for r in resized:
+        assert max(r.target_width, r.target_height) <= 256
+        assert r.target_width <= r.width and r.target_height <= r.height
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode="real")

@@ -1,0 +1,160 @@
+"""End-to-end pipeline: verdicts/violations/metrics/lineage tables,
+checkpoint resume (kill/restart), corpus ops vs independent oracles,
+span-sequence equality invariant (FIXTURES.md §5-6)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsi_spark.datagen import HOT_DOC_ID, gen_docs, gen_media_dim
+from jsi_spark.exec.drift import psi
+from jsi_spark.exec.referential import dangling_refs
+from jsi_spark.exec.uniqueness import duplicate_keys
+from jsi_spark.pipeline import ValidationPipeline
+
+N_DOCS, N_MEDIA = 1500, 120
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return gen_docs(spark, N_DOCS, n_media=N_MEDIA, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return gen_media_dim(spark, N_MEDIA, seed=42).cache()
+
+
+def _read_all(spark, result):
+    from jsi_spark.io.tableio import SnapshotTable
+
+    out = {}
+    for name, d in result["tables"].items():
+        root, table = d.rsplit("/", 1)
+        out[name] = SnapshotTable(root, table).read(spark)
+    return out
+
+
+def test_full_run_outputs(spark, docs, media, tmp_path):
+    pipe = ValidationPipeline(n_buckets=8)
+    result = pipe.run(spark, docs, media, str(tmp_path / "out"))
+    t = _read_all(spark, result)
+
+    verd = t["verdicts"].collect()
+    assert sum(r.docs for r in verd) == N_DOCS
+    assert all(r.passed + r.failed == r.docs for r in verd)
+    assert {r.part for r in verd} == set(range(8))
+
+    kws = {r.keyword for r in t["violations"].select("keyword")
+           .distinct().collect()}
+    # row-local keyword families + corpus-level constraints all fired
+    assert {"enum", "required", "minimum", "pattern",
+            "uniqueItems", "$ref"} <= kws
+
+    # hot doc_id must be flagged as duplicate
+    hot = t["violations"].filter(
+        (F.col("doc_id") == HOT_DOC_ID)
+        & (F.col("keyword") == "uniqueItems")).count()
+    assert hot > 1
+
+    # lineage covers every part with committed status
+    lin = t["lineage"].collect()
+    assert {r.part for r in lin} == set(range(8))
+    assert all(r.status == "committed" for r in lin)
+
+    # metrics: per-part rows + the global drift row
+    met = t["metrics"]
+    assert met.filter(F.col("part") >= 0).count() == 8 * 3  # 3 columns
+    drift_rows = met.filter(F.col("part") == -1).collect()
+    assert len(drift_rows) == 1
+    assert drift_rows[0].psi == pytest.approx(0.0, abs=1e-9)
+
+
+def test_resume_after_crash_equals_full_run(spark, docs, media, tmp_path):
+    full_dir = str(tmp_path / "full")
+    resum_dir = str(tmp_path / "resumable")
+    pipe = ValidationPipeline(n_buckets=8)
+    pipe.run(spark, docs, media, full_dir)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ValidationPipeline(n_buckets=8).run(
+            spark, docs, media, resum_dir, parts_per_job=2,
+            fail_after_jobs=2)
+    # restart: must skip the 4 committed parts and finish the rest
+    from jsi_spark.io.checkpoint import RunState
+
+    assert len(RunState(resum_dir).completed_parts()) == 4
+    result = ValidationPipeline(n_buckets=8).run(
+        spark, docs, media, resum_dir, parts_per_job=2)
+    assert result["completed_parts"] == list(range(8))
+
+    ta = _read_all(spark, {"tables": {
+        n: f"{full_dir}/{n}" for n in ("violations", "verdicts")}})
+    tb = _read_all(spark, {"tables": {
+        n: f"{resum_dir}/{n}" for n in ("violations", "verdicts")}})
+    for name in ("violations", "verdicts"):
+        a, b = ta[name], tb[name]
+        assert a.exceptAll(b).count() == 0, f"{name}: full has extra rows"
+        assert b.exceptAll(a).count() == 0, f"{name}: resumed has extra rows"
+
+
+def test_uniqueness_matches_pandas_oracle(spark, docs):
+    engine = {(r.doc_id, r.dup_count)
+              for r in duplicate_keys(docs, "doc_id").collect()}
+    pdf = docs.select("doc_id").toPandas()
+    counts = pdf.value_counts("doc_id")
+    oracle = {(k, int(v)) for k, v in counts.items() if v > 1}
+    assert engine == oracle
+
+
+def test_referential_matches_pandas_oracle(spark, docs, media):
+    engine = {(r.doc_id, r.span_index, r.media_ref)
+              for r in dangling_refs(docs, media).collect()}
+    known = {r.media_ref for r in media.select("media_ref").collect()}
+    oracle = set()
+    for row in docs.collect():
+        for i, s in enumerate(row.spans):
+            if s.media_ref is not None and s.media_ref not in known:
+                oracle.add((row.doc_id, i, s.media_ref))
+    assert engine == oracle
+    # sort-merge path must agree with broadcast path
+    sm = {(r.doc_id, r.span_index, r.media_ref)
+          for r in dangling_refs(docs, media,
+                                 broadcast_dim=False).collect()}
+    assert sm == oracle
+
+
+def test_span_sequence_equality_invariant(spark, docs):
+    """input_hint per-row invariant: (kind, text, media_ref, order)
+    recomputed by the engine equals the reference expectation, via full
+    outer join on (doc_id, pos) with zero mismatches (FIXTURES.md §6)."""
+    from jsi_spark.datagen import reference_spans
+
+    ref = reference_spans(docs)
+    # engine recompute through a different plan: posexplode of transform
+    recomputed = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            "spans", lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref")))).alias("pos", "s")
+    ).select("doc_id", "pos", "s.kind", "s.text", "s.media_ref")
+    # multiset equality (null-safe; a plain inner join would drop rows
+    # whose text/media_ref is legitimately NULL)
+    assert ref.count() == recomputed.count()
+    assert ref.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(ref).count() == 0
+
+
+def test_psi_detects_shift(spark):
+    a = spark.range(20000).select(
+        (F.pmod(F.xxhash64("id"), 1000) / 100.0).alias("x"))
+    b = spark.range(20000).select(
+        ((F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 100.0) + 4.0)
+        .alias("x"))
+    same = psi(a, a, "x").head().psi
+    shifted = psi(b, a, "x").head().psi
+    assert abs(same) < 1e-6
+    assert shifted > 0.25
+    assert math.isfinite(shifted)
