@@ -149,21 +149,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash64(text: Column, seed: int = 7) -> Column:
     """64-bit SimHash over word tokens: bit b set iff the majority of
-    token-hashes have bit b set. Pure bit-twiddling expressions."""
+    token-hashes have bit b set. Pure bit-twiddling expressions; the
+    64-bit loop is unrolled driver-side (shift amounts must be Python
+    ints for the shiftleft/shiftright wrappers) and each token is
+    hashed exactly once."""
     toks = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     n = F.size(toks)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            F.size(F.filter(
-                toks,
-                lambda t: F.shiftright(F.xxhash64(t, F.lit(seed)),
-                                       b.cast("int"))
-                .bitwiseAND(F.lit(1)) == 1)) * 2 > n,
-            F.shiftleft(F.lit(1).cast("long"), b.cast("int")))
-        .otherwise(F.lit(0).cast("long")))
-    return F.aggregate(bits, F.lit(0).cast("long"),
-                       lambda acc, x: acc.bitwiseOR(x))
+    def bit_set(b: int):
+        # NB: must close over b via a factory — a `lambda h, _b=b:`
+        # default would raise the HOF lambda's arity to 2 and bind _b
+        # to a lambda variable instead of the int.
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        ones = F.size(F.filter(hashes, bit_set(b)))
+        out = out.bitwiseOR(
+            F.when(ones * 2 > n,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    return out
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -174,12 +180,12 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     width = 64 // chunks
     h = df.select(F.col(id_col).alias("_id"),
                   simhash64(F.col(content_col)).alias("_h"))
-    banded = h.select("_id", "_h", F.explode(F.transform(
-        F.sequence(F.lit(0), F.lit(chunks - 1)),
-        lambda c: F.struct(
-            c.alias("chunk"),
-            F.shiftright("_h", (c * width).cast("int"))
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))))
+    banded = h.select("_id", "_h", F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("_h"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for c in range(chunks)]))
         .alias("cb")).select("_id", "_h", "cb.chunk", "cb.val")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

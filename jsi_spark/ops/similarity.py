@@ -71,6 +71,16 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 99) -> list:
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def lsh_tables(dim: int, n_planes: int = 8, n_tables: int = 8,
+               seed: int = 99) -> list:
+    """L independent sign-LSH tables. One table of b bits has collision
+    probability (1-θ/π)^b — too sparse for decent recall; the union over
+    L tables gives 1-(1-p^b)^L, the standard recall knob."""
+    rng = random.Random(seed)
+    return [[[rng.gauss(0, 1) for _ in range(dim)]
+             for _ in range(n_planes)] for _ in range(n_tables)]
+
+
 def lsh_bucket(vec: Column, planes: list) -> Column:
     """Sign-bit bucket id from fixed (driver-side literal) hyperplanes."""
     bucket = F.lit(0).cast("long")
@@ -85,16 +95,30 @@ def lsh_bucket(vec: Column, planes: list) -> Column:
 def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
              k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Same output shape as brute_force_topk."""
-    bucketed = emb.withColumn("_bucket", lsh_bucket(F.col(vec_col),
-                                                    planes))
-    qb = queries.withColumn("_bucket", lsh_bucket(F.col("qvec"), planes))
-    crossed = bucketed.join(F.broadcast(qb), "_bucket")
+    """Approximate top-k: candidates = union of the query's buckets
+    over L LSH tables (``planes`` is either one table — list of plane
+    vectors — or a list of tables from ``lsh_tables``). Candidate ids
+    are deduped *before* vectors are joined back, so the corpus is
+    never duplicated ×L through the explode; only (id, table, bucket)
+    longs shuffle. Same output shape as brute_force_topk."""
+    tables = [planes] if isinstance(planes[0][0], (int, float)) else planes
+    buckets = lambda v: F.array(*[lsh_bucket(v, t) for t in tables])  # noqa: E731
+    eb = (emb.select(F.col(id_col).alias("vec_id"),
+                     F.posexplode(buckets(F.col(vec_col)))
+                     .alias("_tbl", "_bucket")))
+    qb = (queries.select("query_id",
+                         F.posexplode(buckets(F.col("qvec")))
+                         .alias("_tbl", "_bucket")))
+    cand = (eb.join(F.broadcast(qb), ["_tbl", "_bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id").distinct())
+    scored = (cand
+              .join(emb.select(F.col(id_col).alias("vec_id"), vec_col),
+                    "vec_id")
+              .join(F.broadcast(queries), "query_id"))
     sim = cosine(F.col(vec_col), F.col("qvec"))
-    scored = (crossed.filter(F.col(id_col) != F.col("query_id"))
-              .select("query_id", F.col(id_col).alias("vec_id"),
-                      F.round(sim, 6).alias("sim")))
+    scored = scored.select("query_id", "vec_id",
+                           F.round(sim, 6).alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

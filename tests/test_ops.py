@@ -14,7 +14,7 @@ from jsi_spark.ops.dedup import (
     simhash_candidates,
 )
 from jsi_spark.ops.similarity import (
-    brute_force_topk, hyperplanes, ivf_centroids, ivf_topk, lsh_topk,
+    brute_force_topk, ivf_centroids, ivf_topk, lsh_tables, lsh_topk,
     make_queries,
 )
 from jsi_spark.ops.text import text_profile
@@ -131,8 +131,8 @@ def test_lsh_and_ivf_recall(spark, embeddings):
     truth = {q: {r.vec_id for r in exact if r.query_id == q}
              for q in qids}
 
-    planes = hyperplanes(dim=64, n_planes=8)
-    approx = lsh_topk(embeddings, queries, planes, k=10).collect()
+    tables = lsh_tables(dim=64, n_planes=6, n_tables=16)
+    approx = lsh_topk(embeddings, queries, tables, k=10).collect()
     lsh_recall = sum(
         len({r.vec_id for r in approx if r.query_id == q} & truth[q])
         for q in qids) / (10 * len(qids))
