@@ -1,0 +1,84 @@
+"""Two-parallelism scaling evidence (north_rule: throughput scaling
+efficiency ≥0.8 from N to 4N executors; sandbox realization: the SAME
+headline job at local[8] vs local[32] on identical input).
+
+Runs bench.full_pass in two fresh subprocesses (a SparkSession's
+master can't change in-process) and writes BENCH/BASELINE.md.
+
+Usage:  python BENCH/scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from bench import full_pass
+from jsi_spark.session import get_spark
+spark = get_spark("jsi-scaling", master="local[{cores}]")
+# warm-up: JVM/codegen paths, small run
+full_pass(spark, 50_000)
+secs = full_pass(spark, {n_docs})
+print("SCALING_RESULT " + json.dumps({{"cores": {cores}, "secs": secs}}))
+"""
+
+
+def run(cores: int, n_docs: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"no result from cores={cores}:\n{out.stderr[-3000:]}")
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    r8 = run(8, n_docs)
+    r32 = run(32, n_docs)
+    tput8 = n_docs / r8["secs"]
+    tput32 = n_docs / r32["secs"]
+    # efficiency: achieved speedup / ideal speedup (4x)
+    eff = (tput32 / tput8) / (32 / 8)
+    lines = [
+        "# BENCH/BASELINE.md — two-parallelism scaling evidence",
+        "",
+        "The north_rule's two-cluster-size criterion, evidenced in-sandbox",
+        "by running the identical full validation pass (keyword checks +",
+        "violations + verdicts + salted uniqueness + referential join +",
+        "column stats + PSI drift) at two parallelism levels on the same",
+        f"deterministic {n_docs:,}-doc input (jsi_spark.datagen; values",
+        "are independent of partitioning).",
+        "",
+        "| parallelism | wall (s) | docs/sec |",
+        "|---|---|---|",
+        f"| local[8]  (N)  | {r8['secs']:.2f} | {tput8:,.0f} |",
+        f"| local[32] (4N) | {r32['secs']:.2f} | {tput32:,.0f} |",
+        "",
+        f"**Scaling efficiency (N→4N)** = (tput_4N / tput_N) / 4 = "
+        f"**{eff:.3f}** (target ≥ 0.8)",
+        "",
+        "Caveat: local-mode threads share one JVM heap and memory bus, so",
+        "this understates multi-node scaling where executors get private",
+        "memory bandwidth; the job has no driver-side collects on the",
+        "hot path and only key-projected shuffles, which is what the",
+        "efficiency criterion actually exercises.",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"n_docs": n_docs, "local8_sec": r8["secs"],
+                      "local32_sec": r32["secs"],
+                      "efficiency": round(eff, 3), "out": path}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Benchmark harness: headline throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "full_validation_pass", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs": N, "docs_per_sec": X, "parallelism": "local[...]"}
+
+Headline = the full interleaved-docs validation pass (keyword checks,
+violation expansion on failing rows, per-partition verdicts, salted
+uniqueness, referential anti-join, per-column stats, PSI drift) over a
+synthetic corpus of $SPARK_GRAFT_BENCH_DOCS docs (default 1e6) generated
+JVM-side (jsi_spark.datagen — identical values at any parallelism).
+
+Per-query timings run every __spark_entry__.queries() entry against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Each query is forced
+with the noop sink so column pruning can't skip the measured work.
+
+Scaling evidence (north_rule: ≥0.8 efficiency N→4N): run this script
+twice with SPARK_GRAFT_CPUS=8 and =32 on the same inputs; see
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from jsi_spark.datagen import gen_docs, gen_media_dim  # noqa: E402
+from jsi_spark.exec.drift import psi  # noqa: E402
+from jsi_spark.exec.referential import referential_violations  # noqa: E402
+from jsi_spark.exec.stats import column_stats  # noqa: E402
+from jsi_spark.exec.uniqueness import uniqueness_violations  # noqa: E402
+from jsi_spark.exec.verdicts import partition_verdicts, with_part  # noqa: E402
+from jsi_spark.session import get_spark  # noqa: E402
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def full_pass(spark, n_docs: int, n_media: int = 1000,
+              workdir: str | None = None) -> float:
+    """The headline job. The synthetic corpus is materialized to parquet
+    once (setup, untimed) so the measured pass does what production
+    does: scan columnar storage, validate, aggregate."""
+    import tempfile
+    workdir = workdir or tempfile.mkdtemp(prefix="jsi_bench_")
+    docs_path = os.path.join(workdir, f"docs_{n_docs}")
+    if not os.path.exists(docs_path):
+        gen_docs(spark, n_docs, n_media=n_media).write.mode(
+            "overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    media = gen_media_dim(spark, n_media)
+    tv = entrymod._docs_validator()
+
+    t0 = time.time()
+    checked = with_part(docs, 32).withColumn("valid", tv.valid_column())
+    # row-local: verdicts + violations (filter-first) in one pass each
+    _force(partition_verdicts(checked))
+    _force(checked.filter(~F.col("valid"))
+           .select("doc_id", "part",
+                   F.explode(tv.violations_column()).alias("v")))
+    # corpus: salted uniqueness, referential anti-join, stats, drift
+    _force(uniqueness_violations(docs, "doc_id", 64))
+    _force(referential_violations(docs, media, broadcast_dim=True))
+    flat = docs.select("doc_id", F.size("spans").alias("n_spans"))
+    _force(column_stats(flat, ["doc_id", "n_spans"]))
+    halves = docs.select(
+        F.size("spans").cast("double").alias("x"),
+        (F.xxhash64("doc_id") % 2 == 0).alias("h"))
+    _force(psi(halves.filter("h"), halves.filter("NOT h"), "x",
+               edges=[4.0, 8.0, 12.0, 16.0, 20.0, 24.0, 28.0]))
+    return time.time() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+    spark = get_spark("jsi-spark-bench")
+    master = spark.sparkContext.master
+
+    headline = full_pass(spark, n_docs)
+
+    per_query = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            _force(fn(spark, sf_dir))
+            per_query[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # keep the bench line parseable
+            per_query[name] = f"FAIL: {type(ex).__name__}"
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(json.dumps({
+        "metric": "full_validation_pass",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "parallelism": master,
+    }))
+
+
+if __name__ == "__main__":
+    main()

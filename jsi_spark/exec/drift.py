@@ -54,10 +54,13 @@ def _bin_shares(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
 
 
 def psi(current: DataFrame, reference: DataFrame, col: str,
-        n_bins: int = 10) -> DataFrame:
+        n_bins: int = 10, edges: list[float] | None = None) -> DataFrame:
     """One-row DataFrame (column, psi). Rule of thumb: <0.1 stable,
-    0.1-0.25 moderate drift, >0.25 major drift."""
-    edges = quantile_edges(reference, col, n_bins)
+    0.1-0.25 moderate drift, >0.25 major drift. ``edges`` overrides the
+    quantile-sketch edges with fixed bin boundaries (deterministic,
+    oracle-comparable binning)."""
+    if edges is None:
+        edges = quantile_edges(reference, col, n_bins)
     p = _bin_shares(current, col, edges).withColumnRenamed("share", "p")
     q = _bin_shares(reference, col, edges).withColumnRenamed("share", "q")
     joined = p.join(q, "bucket", "full_outer").select(

@@ -19,11 +19,14 @@ from pyspark.sql import functions as F
 def column_stats(df: DataFrame, columns: list[str] | None = None,
                  hll_rsd: float = 0.02,
                  quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
-                 group_by: str | None = None) -> DataFrame:
+                 group_by: str | None = None,
+                 exact_distinct: bool = False) -> DataFrame:
     """Long-form stats: one output row per column
     (column, n_rows, null_count, distinct_hll, min_val, max_val,
     kll_quantiles for numeric columns). ``group_by`` adds a grouping
     column (e.g. the partition bucket) for per-partition metrics.
+    ``exact_distinct`` swaps the HLL sketch for an exact count-distinct
+    (oracle-comparable; the sketch is the default at corpus scale).
     """
     columns = columns or [
         f.name for f in df.schema.fields
@@ -40,7 +43,9 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
         aggs = [
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
-            F.approx_count_distinct(c, hll_rsd).alias("distinct_hll"),
+            (F.count_distinct(F.col(c)) if exact_distinct
+             else F.approx_count_distinct(c, hll_rsd))
+            .alias("distinct_hll"),
             F.min(c).cast("string").alias("min_val"),
             F.max(c).cast("string").alias("max_val"),
             (F.percentile_approx(c, list(quantiles), 10000)

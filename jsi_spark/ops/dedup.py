@@ -80,6 +80,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                                 rows_per_band),
                         lambda x: x.cast("string")))).alias("bucket"))))
         .alias("bb")).select("_id", "bb.band", "bb.bucket")
+    # the self-join would otherwise recompute the full shingle→minhash
+    # pipeline for BOTH sides; persist the (id, band, bucket) projection
+    # (tiny: 3 longs × bands per doc) so each side is a cache scan
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -187,6 +191,9 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
             .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
         for c in range(chunks)]))
         .alias("cb")).select("_id", "_h", "cb.chunk", "cb.val")
+    # persist the tiny fingerprint projection: the self-join must not
+    # recompute the 64-bit majority-vote expression for both sides
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                     & (F.col("a.val") == F.col("b.val"))

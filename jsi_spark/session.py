@@ -7,8 +7,40 @@ Arrow for the few vectorized-Python stages); local[*] in the sandbox.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PY_FILES_SENT: set[int] = set()
+
+
+def ensure_py_files(spark: SparkSession) -> None:
+    """Ship the jsi_spark package to Python workers (the
+    ``spark-submit --py-files`` mechanism, applied programmatically).
+
+    Required for stages that run Python on executors (pandas UDFs,
+    mapInPandas) when the driver process wasn't launched from the repo
+    root: cloudpickle serializes those closures by reference, so the
+    worker must be able to ``import jsi_spark``. Idempotent per session.
+    """
+    key = id(spark.sparkContext)
+    if key in _PY_FILES_SENT:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"jsi_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full,
+                                              os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _PY_FILES_SENT.add(key)
 
 
 def get_spark(app_name: str = "jsi-spark", master: str | None = None,

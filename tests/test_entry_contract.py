@@ -1,0 +1,71 @@
+"""Driver-contract regression tests: __spark_entry__.queries() vs
+oracle_sql() parity on sf0.001 (the same comparison the driver runs at
+sf0.01 — order-insensitive, column-name-sorted value equality)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# cheap, representative subset (full sweep runs in the driver / harness)
+PARITY = ["docs_valid", "docs_violations", "docs_verdicts",
+          "orders_violations", "duplicate_user_ids",
+          "referential_dangling", "psi_value_drift",
+          "token_counts", "lang_id", "quality_scores", "fingerprints",
+          "dedup_exact", "ann_bruteforce"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", PARITY)
+def test_query_matches_oracle(spark, con, name):
+    df = E.queries()[name](spark, SF)
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    cur = con.execute(E.oracle_sql()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _key(srows, scols) == _key(orows, ocols)
+
+
+def test_entry_smoke(spark):
+    out = E.entry(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"part", "docs", "passed", "failed", "pass"}
+
+
+def test_every_query_has_callable_shape(spark):
+    qs = E.queries()
+    assert len(qs) >= 20
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # ≥ 2/3 of queries must be oracle-gated (the strong check)
+    assert len(oracles) * 3 >= len(qs) * 2
