@@ -56,6 +56,15 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     if not os.path.exists(docs_path):
         gen_docs(spark, n_docs, n_media=n_media).write.mode(
             "overwrite").parquet(docs_path)
+    # Size scan splits to the corpus: at 100 TB the 128 MB default gives
+    # ~1M splits (correct); this bench corpus is a few hundred MB, which
+    # 128 MB would pack into 2-3 splits and serialize the scan. Target
+    # ~3 splits per core, floor 4 MB.
+    total = sum(os.path.getsize(os.path.join(docs_path, f))
+                for f in os.listdir(docs_path) if f.endswith(".parquet"))
+    cores = spark.sparkContext.defaultParallelism
+    split = min(128 << 20, max(4 << 20, total // (3 * cores)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     docs = spark.read.parquet(docs_path)
     media = gen_media_dim(spark, n_media)
     tv = entrymod._docs_validator()

@@ -51,9 +51,6 @@ class TypedCompileError(ValueError):
 
 _UNSUPPORTED = frozenset({
     "dynamic_ref", "unevaluatedItems", "unevaluatedProperties",
-    "patternProperties", "propertyNames", "additionalProperties",
-    "maxProperties", "minProperties", "dependentRequired",
-    "dependencies_required", "dependencies_schema", "dependentSchemas",
 })
 
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -289,15 +286,65 @@ class TypedValidator:
                 ctx, is_arr, F.size(F.array_distinct(c)) == F.size(c),
                 "uniqueItems", "validation.keyword.uniqueItems.not_unique"))
 
-        if "required" in kw and isinstance(dt, T.StructType):
-            names = {f.name for f in dt.fields}
+        is_struct = isinstance(dt, T.StructType)
+        is_map = isinstance(dt, T.MapType)
+        if "required" in kw and (is_struct or is_map):
             ok = F.lit(True)
             for name in kw["required"]:
-                ok = ok & (c.getField(name).isNotNull()
-                           if name in names else F.lit(False))
+                ok = ok & self._present(ctx, name)
             checks.append(self._check(
                 ctx, True, ok, "required",
                 "validation.keyword.required.missing_property_names"))
+
+        if "maxProperties" in kw and (is_struct or is_map):
+            checks.append(self._check(
+                ctx, True, self._prop_count(ctx) <= kw["maxProperties"],
+                "maxProperties",
+                "validation.keyword.maxProperties.properties_count_greater"))
+        if "minProperties" in kw and (is_struct or is_map):
+            checks.append(self._check(
+                ctx, True, self._prop_count(ctx) >= kw["minProperties"],
+                "minProperties",
+                "validation.keyword.minProperties.properties_count_less"))
+
+        for dep_kw, keyword, key in (
+                ("dependentRequired", "dependentRequired",
+                 "validation.keyword.dependentRequired."
+                 "missing_property_names"),
+                ("dependencies_required", "dependencies",
+                 "validation.keyword.dependencies.dependent_required."
+                 "missing_property_names")):
+            if dep_kw in kw and (is_struct or is_map):
+                ok = F.lit(True)
+                for k, names in kw[dep_kw].items():
+                    need = F.lit(True)
+                    for n in names:
+                        need = need & self._present(ctx, n)
+                    ok = ok & (F.when(self._present(ctx, k), need)
+                               .otherwise(F.lit(True)))
+                checks.append(self._check(ctx, True, ok, keyword, key))
+
+    # -- object helpers ---------------------------------------------------------
+
+    def _present(self, ctx: _Ctx, name: str) -> Column:
+        """Presence of property ``name`` (NULL models absent)."""
+        if isinstance(ctx.dtype, T.StructType):
+            if name not in {f.name for f in ctx.dtype.fields}:
+                return F.lit(False)
+            return ctx.col.getField(name).isNotNull()
+        if isinstance(ctx.dtype, T.MapType):
+            return (F.map_contains_key(ctx.col, F.lit(name))
+                    & F.element_at(ctx.col, F.lit(name)).isNotNull())
+        return F.lit(False)
+
+    def _prop_count(self, ctx: _Ctx) -> Column:
+        if isinstance(ctx.dtype, T.StructType):
+            cnt = F.lit(0)
+            for f in ctx.dtype.fields:
+                cnt = cnt + ctx.col.getField(f.name).isNotNull().cast("int")
+            return cnt
+        return F.size(F.filter(F.map_values(ctx.col),
+                               lambda v: v.isNotNull()))
 
     def _type_ok(self, types: tuple, dt: T.DataType, c: Column,
                  node: SchemaNode) -> Column | bool:
@@ -372,6 +419,27 @@ class TypedValidator:
             checks.append((valid, self._emit(ctx, "not",
                                              "validation.keyword.not.valid",
                                              ~valid)))
+        for dep_kw, keyword, key in (
+                ("dependentSchemas", "dependentSchemas",
+                 "validation.keyword.dependentSchemas.invalid"),
+                ("dependencies_schema", "dependencies",
+                 "validation.keyword.dependencies.dependent_schema."
+                 "invalid")):
+            if dep_kw in kw and isinstance(ctx.dtype,
+                                           (T.StructType, T.MapType)):
+                for k, dep_node in kw[dep_kw].items():
+                    sub_valid, sub_viols = self._node(dep_node, ctx,
+                                                      depth + 1)
+                    present = self._present(ctx, k)
+                    valid = F.when(present, sub_valid).otherwise(F.lit(True))
+                    if ctx.collect:
+                        viols = F.when(present & ~sub_valid, F.concat(
+                            sub_viols, self._emit(ctx, keyword, key))
+                        ).otherwise(_empty_viols())
+                    else:
+                        viols = _empty_viols()
+                    checks.append((valid, viols))
+
         if "if" in kw:
             if_valid, _ = self._node(kw["if"], ctx, depth + 1)
             then_valid, then_viols = (
@@ -401,24 +469,139 @@ class TypedValidator:
 
     # -- child applicators (SURVEY.md §2.3) ----------------------------------------
 
+    def _child_check(self, child_node, ctx: _Ctx, name: str, child_col,
+                     child_dt, depth: int) -> tuple[Column, Column]:
+        """Validate one named child; absent parent/child ⇒ vacuous."""
+        child_ctx = _Ctx(child_col, child_dt,
+                         F.concat(ctx.ptr, F.lit("/" + name)),
+                         ctx.span_index, ctx.collect)
+        valid, viols = self._node(child_node, child_ctx, depth + 1)
+        valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(valid)
+        if ctx.collect:
+            viols = F.when(ctx.col.isNull() | valid,
+                           _empty_viols()).otherwise(viols)
+        return valid, viols
+
+    def _object_children(self, node: SchemaNode, ctx: _Ctx, depth: int,
+                         checks):
+        kw = node.kw
+        is_struct = isinstance(ctx.dtype, T.StructType)
+        is_map = isinstance(ctx.dtype, T.MapType)
+        if not (is_struct or is_map):
+            return
+        fields = ({f.name: f.dataType for f in ctx.dtype.fields}
+                  if is_struct else {})
+        val_dt = ctx.dtype.valueType if is_map else None
+        props = kw.get("properties", {})
+        pprops = kw.get("patternProperties", ())
+
+        def child_col(name: str):
+            return (ctx.col.getField(name) if is_struct
+                    else F.element_at(ctx.col, F.lit(name)))
+
+        def child_dt(name: str):
+            return fields[name] if is_struct else val_dt
+
+        if props:
+            for name, child_node in props.items():
+                if is_struct and name not in fields:
+                    continue  # never present → vacuously valid
+                checks.append(self._child_check(
+                    child_node, ctx, name, child_col(name), child_dt(name),
+                    depth))
+
+        if pprops:
+            if is_struct:
+                # compile-time key matching (Python `re` search, same
+                # dialect as the generic path / reference pattern.rb)
+                for name in fields:
+                    for _pat, rx, sub_node in pprops:
+                        if rx.search(name):
+                            checks.append(self._child_check(
+                                sub_node, ctx, name, child_col(name),
+                                fields[name], depth))
+            else:
+                # runtime key matching over map entries (Java regex —
+                # documented deviation of the typed path)
+                for pat, _rx, sub_node in pprops:
+                    checks.append(self._entries_check(
+                        sub_node, ctx, val_dt,
+                        lambda k, pat=pat: k.rlike(pat), depth,
+                        "patternProperties",
+                        "validation.keyword.patternProperties.invalid"))
+
+        if "additionalProperties" in kw:
+            sub_node = kw["additionalProperties"]
+            if is_struct:
+                for name in fields:
+                    if name in props:
+                        continue
+                    if any(rx.search(name) for _p, rx, _n in pprops):
+                        continue
+                    checks.append(self._child_check(
+                        sub_node, ctx, name, child_col(name), fields[name],
+                        depth))
+            else:
+                prop_names = [F.lit(n) for n in props]
+
+                def is_additional(k):
+                    extra = ~k.isin(*prop_names) if prop_names else \
+                        F.lit(True)
+                    for pat, _rx, _n in pprops:
+                        extra = extra & ~k.rlike(pat)
+                    return extra
+
+                checks.append(self._entries_check(
+                    sub_node, ctx, val_dt, is_additional, depth,
+                    "additionalProperties",
+                    "validation.keyword.additionalProperties.invalid"))
+
+        if "propertyNames" in kw:
+            sub_node = kw["propertyNames"]
+            if is_struct:
+                for name in fields:
+                    name_ctx = _Ctx(F.lit(name), T.StringType(),
+                                    F.concat(ctx.ptr, F.lit("/" + name)),
+                                    ctx.span_index, ctx.collect)
+                    nv, nviols = self._node(sub_node, name_ctx, depth + 1)
+                    valid = F.when(
+                        ctx.col.isNull() | ~self._present(ctx, name),
+                        F.lit(True)).otherwise(nv)
+                    viols = self._emit(
+                        ctx, "propertyNames",
+                        "validation.keyword.propertyNames.invalid", ~valid)
+                    checks.append((valid, viols))
+            else:
+                def name_valid(k):
+                    name_ctx = _Ctx(k, T.StringType(), ctx.ptr,
+                                    ctx.span_index, False)
+                    return self._node(sub_node, name_ctx, depth + 1)[0]
+
+                ok = F.forall(F.map_keys(ctx.col), name_valid)
+                valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(ok)
+                viols = self._emit(
+                    ctx, "propertyNames",
+                    "validation.keyword.propertyNames.invalid", ~valid)
+                checks.append((valid, viols))
+
+    def _entries_check(self, sub_node, ctx: _Ctx, val_dt,
+                       key_gate, depth: int, keyword: str,
+                       message_key: str) -> tuple[Column, Column]:
+        """Map-typed child application: validate every entry whose key
+        passes ``key_gate``; one summary violation on failure (per-entry
+        rows would need posexplode, which the caller can do via ptr)."""
+        def entry_ok(e):
+            ectx = _Ctx(e["value"], val_dt, ctx.ptr, ctx.span_index, False)
+            return ~key_gate(e["key"]) | self._node(sub_node, ectx,
+                                                    depth + 1)[0]
+
+        ok = F.forall(F.map_entries(ctx.col), entry_ok)
+        valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(ok)
+        return valid, self._emit(ctx, keyword, message_key, ~valid)
+
     def _children(self, node: SchemaNode, ctx: _Ctx, depth: int, checks):
         kw = node.kw
-        if "properties" in kw and isinstance(ctx.dtype, T.StructType):
-            fields = {f.name: f.dataType for f in ctx.dtype.fields}
-            for name, child_node in kw["properties"].items():
-                if name not in fields:
-                    continue  # never present → vacuously valid
-                child_ctx = _Ctx(
-                    ctx.col.getField(name), fields[name],
-                    F.concat(ctx.ptr, F.lit("/" + name)),
-                    ctx.span_index, ctx.collect)
-                valid, viols = self._node(child_node, child_ctx, depth + 1)
-                # object NULL (absent) ⇒ children vacuously valid
-                valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(valid)
-                if ctx.collect:
-                    viols = F.when(ctx.col.isNull() | valid,
-                                   _empty_viols()).otherwise(viols)
-                checks.append((valid, viols))
+        self._object_children(node, ctx, depth, checks)
 
         arr = isinstance(ctx.dtype, T.ArrayType)
         elem_dt = ctx.dtype.elementType if arr else None

@@ -1,0 +1,92 @@
+"""Physical-plan audits: the scale-critical properties asserted as
+plan-shape tests, so a regression that silently de-optimizes the
+100 TB path (Python in the hot loop, lost broadcast, lost pushdown,
+lost partial aggregation) fails CI — not just a benchmark.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsi_spark.compile.compiler import compile_schema
+from jsi_spark.datagen import gen_docs, gen_media_dim
+from jsi_spark.exec.columnar import typed_validator
+from jsi_spark.exec.referential import dangling_refs
+from jsi_spark.exec.stats import column_stats
+from jsi_spark.exec.uniqueness import duplicate_keys
+from jsi_spark.plans.docs_schema import DOCS_JSON_SCHEMA, DOCS_SCHEMA
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return gen_docs(spark, 2000, n_media=100)
+
+
+def test_typed_validator_is_pure_jvm(spark, docs):
+    tv = typed_validator(compile_schema(DOCS_JSON_SCHEMA), DOCS_SCHEMA)
+    plan = plan_of(docs.withColumn("valid", tv.valid_column()))
+    assert "EvalPython" not in plan, "Python stage in the typed hot path"
+    # whole plan is Column expressions in a single Project over the scan
+    # (AQE prints the pre-execution plan without codegen stars, so assert
+    # structure rather than the WholeStageCodegen marker)
+    assert plan.lstrip().startswith("Project"), plan[:200]
+
+
+def test_parquet_scan_prunes_and_pushes_down(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    gen_docs(spark, 1000, n_media=50).write.parquet(path)
+    df = (spark.read.parquet(path)
+          .filter(F.col("doc_id") > "doc-000000500")
+          .select("doc_id"))
+    plan = plan_of(df)
+    # column pruning: the wide spans column must not be read
+    assert "ReadSchema: struct<doc_id:string>" in plan
+    # predicate pushdown to the parquet scan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id" in plan
+
+
+def test_referential_broadcasts_small_dim(spark, docs):
+    media = gen_media_dim(spark, 100)
+    plan = plan_of(dangling_refs(docs, media, broadcast_dim=True))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_referential_sort_merge_path_shuffles_distinct_only(spark, docs):
+    media = gen_media_dim(spark, 100)
+    plan = plan_of(dangling_refs(docs, media, broadcast_dim=False))
+    # the fact side is reduced to distinct refs before any wide exchange
+    assert "HashAggregate" in plan
+
+
+def test_stats_single_pass_partial_final(spark, docs):
+    flat = docs.select("doc_id", F.size("spans").alias("n_spans"))
+    plan = plan_of(column_stats(flat, ["doc_id", "n_spans"]))
+    # Catalyst plans partial (map-side) + final aggregation
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_salted_uniqueness_two_phase(spark, docs):
+    plan = plan_of(duplicate_keys(docs, "doc_id", 16))
+    # two aggregation phases: (key, salt) then key
+    assert plan.count("HashAggregate") >= 4  # 2 logical x partial/final
+
+
+def test_violations_filter_first(spark, docs):
+    """The violation expansion must sit above a filter on ~valid, so
+    the expensive error expressions never execute for passing rows."""
+    tv = typed_validator(compile_schema(DOCS_JSON_SCHEMA), DOCS_SCHEMA)
+    checked = docs.withColumn("valid", tv.valid_column())
+    viol = (checked.filter(~F.col("valid"))
+            .select("doc_id", F.explode(tv.violations_column()).alias("v")))
+    opt = optimized_of(viol)
+    assert "Filter" in opt
+    assert opt.index("Generate") < opt.index("Filter"), \
+        "explode must be planned above (after) the validity filter"
