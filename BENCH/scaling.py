@@ -18,20 +18,27 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 from bench import full_pass
 from jsi_spark.session import get_spark
 spark = get_spark("jsi-scaling", master="local[{cores}]")
-# warm-up: JVM/codegen paths, small run
-full_pass(spark, 50_000)
-secs = full_pass(spark, {n_docs})
+wd = {workdir!r}
+# warm-up run: JIT + codegen + page cache (untimed), then min of 2
+# measured runs — the sandbox host is shared, so single samples carry
+# multi-x noise; min is the robust estimator of achievable throughput
+full_pass(spark, {n_docs}, workdir=wd)
+secs = min(full_pass(spark, {n_docs}, workdir=wd) for _ in range(2))
 print("SCALING_RESULT " + json.dumps({{"cores": {cores}, "secs": secs}}))
 """
 
+WORKDIR = "/tmp/jsi_scaling_corpus"
+
 
 def run(cores: int, n_docs: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs)
+    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs,
+                        workdir=WORKDIR)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -56,7 +63,10 @@ def main():
         "violations + verdicts + salted uniqueness + referential join +",
         "column stats + PSI drift) at two parallelism levels on the same",
         f"deterministic {n_docs:,}-doc input (jsi_spark.datagen; values",
-        "are independent of partitioning).",
+        "are independent of partitioning). Both levels read the SAME",
+        "fixed-64-partition parquet corpus; each level does one untimed",
+        "warm-up pass then reports the min of 2 measured passes (the",
+        "sandbox host is shared — single samples showed up to 3x noise).",
         "",
         "| parallelism | wall (s) | docs/sec |",
         "|---|---|---|",

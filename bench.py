@@ -54,8 +54,10 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     workdir = workdir or tempfile.mkdtemp(prefix="jsi_bench_")
     docs_path = os.path.join(workdir, f"docs_{n_docs}")
     if not os.path.exists(docs_path):
-        gen_docs(spark, n_docs, n_media=n_media).write.mode(
-            "overwrite").parquet(docs_path)
+        # fixed partitioning so the written corpus is byte-identical
+        # regardless of session parallelism (scaling runs share it)
+        gen_docs(spark, n_docs, n_media=n_media,
+                 partitions=64).write.mode("overwrite").parquet(docs_path)
     # Size scan splits to the corpus: at 100 TB the 128 MB default gives
     # ~1M splits (correct); this bench corpus is a few hundred MB, which
     # 128 MB would pack into 2-3 splits and serialize the scan. Target

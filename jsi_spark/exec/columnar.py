@@ -50,7 +50,7 @@ class TypedCompileError(ValueError):
 
 
 _UNSUPPORTED = frozenset({
-    "dynamic_ref", "unevaluatedItems", "unevaluatedProperties",
+    "dynamic_ref",
 })
 
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -691,6 +691,186 @@ class TypedValidator:
             viols = self._emit(ctx, "contains",
                                "validation.keyword.contains.none", ~valid)
             checks.append((valid, viols))
+
+        self._unevaluated(node, ctx, depth, checks, elem_pair)
+
+    # -- unevaluated* (SURVEY.md §7.3; reference: elements/
+    # unevaluated_items.rb, unevaluated_properties.rb; evaluated tokens
+    # merge only from VALID in-place applications, result.rb:47-63) ------------
+
+    def _unevaluated(self, node: SchemaNode, ctx: _Ctx, depth: int,
+                     checks, elem_pair):
+        kw = node.kw
+        if "unevaluatedProperties" in kw:
+            if isinstance(ctx.dtype, T.MapType):
+                raise TypedCompileError(
+                    "unevaluatedProperties over MapType needs the generic "
+                    f"path (unbounded key space) at {node.location}")
+            if isinstance(ctx.dtype, T.StructType):
+                sub = kw["unevaluatedProperties"]
+                ev = self._eval_props(node, ctx, depth, include_self=False)
+                fields = {f.name: f.dataType for f in ctx.dtype.fields}
+                for name, fdt in fields.items():
+                    applies = self._present(ctx, name) & ~ev[name]
+                    v, sviols = self._child_check(
+                        sub, ctx, name, ctx.col.getField(name), fdt, depth)
+                    valid = F.when(applies, v).otherwise(F.lit(True))
+                    if ctx.collect:
+                        viols = F.when(applies & ~v, F.concat(
+                            sviols, self._emit(
+                                ctx, "unevaluatedProperties",
+                                "validation.keyword.unevaluatedProperties."
+                                "invalid"))).otherwise(_empty_viols())
+                    else:
+                        viols = _empty_viols()
+                    checks.append((valid, viols))
+        if "unevaluatedItems" in kw and isinstance(ctx.dtype, T.ArrayType):
+            sub = kw["unevaluatedItems"]
+            pred = self._eval_items_pred(node, ctx, depth,
+                                         include_self=False)
+            valid = _forall_idx(
+                ctx.col, lambda x, i: pred(x, i) | elem_pair(sub, x, i)[0])
+            valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(valid)
+            viols = self._emit(ctx, "unevaluatedItems",
+                               "validation.keyword.unevaluatedItems.invalid",
+                               ~valid)
+            checks.append((valid, viols))
+
+    def _eval_props(self, node: SchemaNode, ctx: _Ctx, depth: int,
+                    include_self: bool = True) -> dict:
+        """Per-field 'evaluated' Columns at this instance location for
+        schema object ``node``: a field is evaluated iff some applicator
+        in the node's in-place application graph applied a schema to it
+        AND that application validated (annotation semantics — failed
+        schemas contribute nothing)."""
+        if depth > self.max_ref_depth:
+            raise TypedCompileError(
+                f"$ref nesting exceeds {self.max_ref_depth} computing "
+                f"evaluated-property masks at {node.location}")
+        fields = {f.name: f.dataType for f in ctx.dtype.fields}
+        ev = {name: F.lit(False) for name in fields}
+        if not isinstance(node.value, dict):
+            return ev
+        kw = node.kw
+
+        def add(name, col):
+            ev[name] = ev[name] | col
+
+        def child_valid(sub_node, name):
+            cctx = _Ctx(ctx.col.getField(name), fields[name], ctx.ptr,
+                        ctx.span_index, False)
+            return self._node(sub_node, cctx, depth + 1)[0]
+
+        props = kw.get("properties", {})
+        pprops = kw.get("patternProperties", ())
+        for name in fields:
+            if name in props:
+                add(name, child_valid(props[name], name))
+            for _p, rx, sub_node in pprops:
+                if rx.search(name):
+                    add(name, child_valid(sub_node, name))
+        if "additionalProperties" in kw:
+            for name in fields:
+                if name in props or any(rx.search(name)
+                                        for _p, rx, _n in pprops):
+                    continue
+                add(name, child_valid(kw["additionalProperties"], name))
+        if include_self and "unevaluatedProperties" in kw:
+            for name in fields:
+                add(name, child_valid(kw["unevaluatedProperties"], name))
+
+        def branch(sub_node, gate=None):
+            bv = self._node(sub_node, ctx, depth + 1)[0]
+            g = bv if gate is None else (gate & bv)
+            bev = self._eval_props(sub_node, ctx, depth + 1)
+            for name in fields:
+                add(name, bev[name] & g)
+
+        if "ref" in kw:
+            branch(kw["ref"])
+        for k in ("allOf", "anyOf", "oneOf"):
+            for sub_node in kw.get(k, ()):
+                branch(sub_node)
+        if "if" in kw:
+            if_valid = self._node(kw["if"], ctx, depth + 1)[0]
+            branch(kw["if"])
+            if "then" in kw:
+                branch(kw["then"], gate=if_valid)
+            if "else" in kw:
+                branch(kw["else"], gate=~if_valid)
+        for dep_kw in ("dependentSchemas", "dependencies_schema"):
+            for k, sub_node in kw.get(dep_kw, {}).items():
+                branch(sub_node, gate=self._present(ctx, k))
+        return ev
+
+    def _eval_items_pred(self, node: SchemaNode, ctx: _Ctx, depth: int,
+                         include_self: bool = True):
+        """(x, i) -> 'evaluated' Column for array elements, composed
+        across the node's in-place application graph with the same
+        validity gating as ``_eval_props``."""
+        if depth > self.max_ref_depth:
+            raise TypedCompileError(
+                f"$ref nesting exceeds {self.max_ref_depth} computing "
+                f"evaluated-item masks at {node.location}")
+        if not isinstance(node.value, dict):
+            return lambda x, i: F.lit(False)
+        kw = node.kw
+        elem_dt = ctx.dtype.elementType
+        preds = []
+
+        def elem_valid(sub_node, x, i):
+            ectx = _Ctx(x, elem_dt, ctx.ptr, ctx.span_index, False)
+            return self._node(sub_node, ectx, depth + 1)[0]
+
+        for items_kw in ("items_schema", "items_rest"):
+            if items_kw in kw:
+                start = len(kw.get("prefixItems", ())) \
+                    if items_kw == "items_rest" else 0
+                sub_node = kw[items_kw]
+                preds.append(lambda x, i, s=sub_node, st=start:
+                             (i >= F.lit(st)) & elem_valid(s, x, i))
+        for seq_kw in ("prefixItems", "items_tuple"):
+            for j, sub_node in enumerate(kw.get(seq_kw, ())):
+                preds.append(lambda x, i, s=sub_node, jj=j:
+                             (i == F.lit(jj)) & elem_valid(s, x, i))
+        if "additionalItems" in kw and "items_tuple" in kw:
+            n = len(kw["items_tuple"])
+            sub_node = kw["additionalItems"]
+            preds.append(lambda x, i, s=sub_node:
+                         (i >= F.lit(n)) & elem_valid(s, x, i))
+        if "contains" in kw:
+            sub_node = kw["contains"]
+            preds.append(lambda x, i, s=sub_node: elem_valid(s, x, i))
+        if include_self and "unevaluatedItems" in kw:
+            sub_node = kw["unevaluatedItems"]
+            preds.append(lambda x, i, s=sub_node: elem_valid(s, x, i))
+
+        def branch(sub_node, gate=None):
+            bv = self._node(sub_node, ctx, depth + 1)[0]
+            g = bv if gate is None else (gate & bv)
+            bpred = self._eval_items_pred(sub_node, ctx, depth + 1)
+            preds.append(lambda x, i, p=bpred, gg=g: p(x, i) & gg)
+
+        if "ref" in kw:
+            branch(kw["ref"])
+        for k in ("allOf", "anyOf", "oneOf"):
+            for sub_node in kw.get(k, ()):
+                branch(sub_node)
+        if "if" in kw:
+            if_valid = self._node(kw["if"], ctx, depth + 1)[0]
+            branch(kw["if"])
+            if "then" in kw:
+                branch(kw["then"], gate=if_valid)
+            if "else" in kw:
+                branch(kw["else"], gate=~if_valid)
+
+        def combined(x, i):
+            out = F.lit(False)
+            for p in preds:
+                out = out | p(x, i)
+            return out
+
+        return combined
 
 
 def _literal_matches(v, dt: T.DataType) -> bool:
