@@ -33,11 +33,12 @@ from bench import full_pass
 from jsi_spark.session import get_spark
 spark = get_spark("jsi-scaling", master="local[{cores}]")
 wd = {workdir!r}
-# warm-up run: JIT + codegen + page cache (untimed), then min of 2
-# measured runs — the sandbox host is shared, so single samples carry
-# multi-x noise; min is the robust estimator of achievable throughput
+# warm-up run: JIT + codegen + page cache (untimed), then min of 4
+# measured runs — the sandbox host is shared, and observed noise comes
+# in multi-minute bursts (single samples off by up to 3x); min is the
+# robust estimator of achievable throughput
 full_pass(spark, {n_docs}, workdir=wd)
-secs = min(full_pass(spark, {n_docs}, workdir=wd) for _ in range(2))
+secs = min(full_pass(spark, {n_docs}, workdir=wd) for _ in range(4))
 print("SCALING_RESULT " + json.dumps({{"cores": {cores}, "secs": secs}}))
 """
 
@@ -74,7 +75,7 @@ def main():
         f"deterministic {n_docs:,}-doc input (jsi_spark.datagen; values",
         "are independent of partitioning). Both levels read the SAME",
         "fixed-64-partition parquet corpus; each level does one untimed",
-        "warm-up pass then reports the min of 2 measured passes (the",
+        "warm-up pass then reports the min of 4 measured passes (the",
         "sandbox host is shared — single samples showed up to 3x noise).",
         "",
         f"N = {n} cores. The host's '32 CPUs' are SMT threads on ~16",

@@ -81,15 +81,23 @@ def lsh_tables(dim: int, n_planes: int = 8, n_tables: int = 8,
              for _ in range(n_planes)] for _ in range(n_tables)]
 
 
+def _lit_matrix(rows: list) -> Column:
+    """Driver-side constant matrix as a literal array<array<double>> —
+    one expression node instead of rows×dim unrolled literals (keeps
+    codegen size and task-binary size flat as the matrix grows)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                     for row in rows])
+
+
 def lsh_bucket(vec: Column, planes: list) -> Column:
-    """Sign-bit bucket id from fixed (driver-side literal) hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long")))
-    return bucket
+    """Sign-bit bucket id from fixed (driver-side literal) hyperplanes:
+    a sequential fold acc*2 + signbit over the plane matrix."""
+    mat = _lit_matrix(planes)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(planes))),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 2
+        + (dot(vec, F.element_at(mat, j)) >= 0).cast("long"))
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
@@ -152,12 +160,21 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
 
 
 def _nearest_centroid(vec: Column, centroids: list) -> Column:
-    best_idx, best_sim = F.lit(0), F.lit(-1e30)
-    for i, c in enumerate(centroids):
-        s = dot(vec, F.array(*[F.lit(float(x)) for x in c])) / norm(vec)
-        best_idx = F.when(s > best_sim, F.lit(i)).otherwise(best_idx)
-        best_sim = F.when(s > best_sim, s).otherwise(best_sim)
-    return best_idx.cast("int")
+    """argmax cosine over a literal centroid matrix via one fold with a
+    struct(best_idx, best_sim) accumulator (flat codegen size)."""
+    mat = _lit_matrix(centroids)
+    init = F.struct(F.lit(0).cast("int").alias("i"),
+                    F.lit(-1e30).alias("s"))
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        init,
+        lambda acc, j: F.when(
+            dot(vec, F.element_at(mat, j)) / norm(vec) > acc["s"],
+            F.struct((j - 1).cast("int").alias("i"),
+                     (dot(vec, F.element_at(mat, j)) / norm(vec))
+                     .alias("s"))
+        ).otherwise(acc))
+    return folded["i"]
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,

@@ -40,6 +40,13 @@ LINEAGE_SCHEMA = ("run_id string, part int, snapshot_id string, "
                   "status string, started_at string, finished_at string")
 
 
+def _parts_committed(table: SnapshotTable, parts: list[int]) -> bool:
+    done: set[int] = set()
+    for s in table.manifest()["snapshots"]:
+        done.update(s.get("meta", {}).get("parts", []))
+    return set(parts) <= done
+
+
 class ValidationPipeline:
     def __init__(self, schema: dict | CompiledSchema | None = None,
                  n_buckets: int = 32, salt_buckets: int = 64,
@@ -151,25 +158,38 @@ class ValidationPipeline:
                 raise RuntimeError("simulated crash for resume test")
             started = _now()
             sub = docs_p.filter(F.col("part").isin(parts))
-            b_viol = tables["violations"].stage_batch(
-                self.local_violations(sub))
-            b_verd = tables["verdicts"].stage_batch(partition_verdicts(sub))
-            b_metr = tables["metrics"].stage_batch(self.metrics(sub))
-            snap = tables["violations"].commit([b_viol],
-                                               {"parts": parts})
-            tables["verdicts"].commit([b_verd], {"parts": parts})
-            tables["metrics"].commit([b_metr], {"parts": parts})
-            state.commit_parts(parts, snap, started)
+            stage_of = {
+                "violations": lambda: self.local_violations(sub),
+                "verdicts": lambda: partition_verdicts(sub),
+                "metrics": lambda: self.metrics(sub),
+            }
+            # Per-table commits are not jointly atomic; idempotency comes
+            # from the parts recorded in each snapshot's meta — a resumed
+            # run skips any table that already committed these buckets,
+            # so a crash between the three commits can't double-commit.
+            snap = None
+            for name, build in stage_of.items():
+                if _parts_committed(tables[name], parts):
+                    continue
+                batch = tables[name].stage_batch(build())
+                s = tables[name].commit([batch], {"parts": parts})
+                snap = snap or s
+            state.commit_parts(parts, snap or "snap-preexisting", started)
             lineage = spark.createDataFrame(
                 [(state.run_id, p, snap, "committed", started, _now())
                  for p in parts], LINEAGE_SCHEMA)
             tables["lineage"].append(lineage)
 
         if not state.global_done:
-            corpus = self.corpus_violations(docs_p, media_dim)
-            tables["violations"].append(corpus, {"stage": "corpus"})
-            tables["metrics"].append(self.drift_metrics(docs_p, out_dir),
-                                     {"stage": "drift"})
+            def _stage_done(table, stage):
+                return any(s.get("meta", {}).get("stage") == stage
+                           for s in table.manifest()["snapshots"])
+            if not _stage_done(tables["violations"], "corpus"):
+                corpus = self.corpus_violations(docs_p, media_dim)
+                tables["violations"].append(corpus, {"stage": "corpus"})
+            if not _stage_done(tables["metrics"], "drift"):
+                tables["metrics"].append(
+                    self.drift_metrics(docs_p, out_dir), {"stage": "drift"})
             state.mark_global_done()
 
         return {

@@ -158,3 +158,46 @@ def test_psi_detects_shift(spark):
     assert abs(same) < 1e-6
     assert shifted > 0.25
     assert math.isfinite(shifted)
+
+
+def test_resume_after_crash_between_table_commits(spark, docs, media,
+                                                  tmp_path):
+    """A crash AFTER the violations table committed a job's buckets but
+    BEFORE verdicts/metrics committed must not double-commit violations
+    on resume (per-table parts idempotency)."""
+    from unittest import mock
+
+    from jsi_spark.io.tableio import SnapshotTable
+
+    out = str(tmp_path / "out_partial")
+    pipe = ValidationPipeline(n_buckets=8)
+    orig_commit = SnapshotTable.commit
+    calls = {"n": 0}
+
+    def flaky(self, batches, meta=None):
+        snap = orig_commit(self, batches, meta)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash between table commits")
+        return snap
+
+    with mock.patch.object(SnapshotTable, "commit", flaky):
+        with pytest.raises(RuntimeError, match="between table commits"):
+            pipe.run(spark, docs, media, out, parts_per_job=4)
+
+    result = ValidationPipeline(n_buckets=8).run(spark, docs, media, out,
+                                                 parts_per_job=4)
+    t = _read_all(spark, result)
+
+    clean = ValidationPipeline(n_buckets=8).run(
+        spark, docs, media, str(tmp_path / "out_clean"), parts_per_job=4)
+    tc = _read_all(spark, clean)
+
+    for name in ("violations", "verdicts"):
+        got = t[name].count()
+        want = tc[name].count()
+        assert got == want, f"{name}: resumed={got} clean={want}"
+    # verdict contents identical, not just counts
+    a = {tuple(r) for r in t["verdicts"].collect()}
+    b = {tuple(r) for r in tc["verdicts"].collect()}
+    assert a == b
