@@ -287,7 +287,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return simhash_candidates(docs, id_col="doc_id", content_col="text") \
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= 4)
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:

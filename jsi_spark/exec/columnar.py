@@ -471,14 +471,21 @@ class TypedValidator:
 
     def _child_check(self, child_node, ctx: _Ctx, name: str, child_col,
                      child_dt, depth: int) -> tuple[Column, Column]:
-        """Validate one named child; absent parent/child ⇒ vacuous."""
+        """Validate one named child; absent parent/child ⇒ vacuous.
+
+        The child-NULL gate matters for combinators: assertions are
+        individually NULL-gated in _check, but oneOf/anyOf/not over a
+        NULL child would otherwise evaluate branch validities (all
+        vacuously true) and e.g. fail a two-branch oneOf on an ABSENT
+        property — which JSON Schema never applies at all."""
         child_ctx = _Ctx(child_col, child_dt,
                          F.concat(ctx.ptr, F.lit("/" + name)),
                          ctx.span_index, ctx.collect)
         valid, viols = self._node(child_node, child_ctx, depth + 1)
-        valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(valid)
+        absent = ctx.col.isNull() | child_col.isNull()
+        valid = F.when(absent, F.lit(True)).otherwise(valid)
         if ctx.collect:
-            viols = F.when(ctx.col.isNull() | valid,
+            viols = F.when(absent | valid,
                            _empty_viols()).otherwise(viols)
         return valid, viols
 
@@ -592,8 +599,9 @@ class TypedValidator:
         rows would need posexplode, which the caller can do via ptr)."""
         def entry_ok(e):
             ectx = _Ctx(e["value"], val_dt, ctx.ptr, ctx.span_index, False)
-            return ~key_gate(e["key"]) | self._node(sub_node, ectx,
-                                                    depth + 1)[0]
+            # NULL map value models absent (same gate as _child_check)
+            return (~key_gate(e["key"]) | e["value"].isNull()
+                    | self._node(sub_node, ectx, depth + 1)[0])
 
         ok = F.forall(F.map_entries(ctx.col), entry_ok)
         valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(ok)

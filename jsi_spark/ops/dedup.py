@@ -38,11 +38,23 @@ def exact_duplicates(df: DataFrame, content_col: str = "text",
 # -- shingles ---------------------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (sorted for deterministic output)."""
+    """Distinct word n-grams (sorted for deterministic output).
+
+    Built by zipping n-1 shifted copies of the token array — each shift
+    is evaluated ONCE per row. (The naive transform-over-indices form
+    references `toks` inside the lambda, and Spark re-evaluates lambda-
+    captured expressions per element: O(len²) tokenizations per row.)"""
     toks = F.split(F.lower(text), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1,
+                          F.greatest(F.size(toks) - k, F.lit(0)))
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, so trailing partial grams match the truncated-join form
+        grams = F.zip_with(grams, shifted,
+                           lambda g, t: F.concat_ws(" ", g, t))
+    grams = F.slice(grams, 1,
+                    F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_sort(F.array_distinct(grams))
 
 
@@ -50,19 +62,36 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_perm: int = 64,
                       seed: int = 1337) -> Column:
-    """num_perm-wide signature: sig[j] = min over shingles of
-    xxhash64(shingle, j). One array expression, fully codegen'd."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, j, F.lit(seed)))))
+    """num_perm-wide signature: sig[j] = min over shingles of a per-
+    permutation hash. Structured as ONE fold over the shingle array —
+    the expensive `shingles` expression is the aggregate's traversal
+    argument, so it evaluates once per row (a transform-per-permutation
+    would re-evaluate it num_perm times). Each shingle is string-hashed
+    once; permutations re-hash the resulting long (cheap)."""
+    idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
+    return F.aggregate(
+        shingles, init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(idx,
+                        lambda j: F.xxhash64(F.xxhash64(s, F.lit(seed)),
+                                             j)),
+            lambda a, b: F.least(a, b)))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         content_col: str = "text", num_perm: int = 64,
-                        bands: int = 16, shingle_n: int = 3) -> DataFrame:
+                        bands: int = 16, shingle_n: int = 3,
+                        max_bucket_size: int | None = 200) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) that collide in at
-    least one LSH band. rows/perm per band = num_perm // bands."""
+    least one LSH band. rows/perm per band = num_perm // bands.
+
+    ``max_bucket_size`` caps bucket width before the self-join: a bucket
+    holding B docs yields B²/2 pairs, so one template cluster (boiler-
+    plate shared by millions of docs) would otherwise dominate the
+    output quadratically. Docs in over-cap buckets are duplicates *as a
+    group* by construction — handle them as clusters, not pairs."""
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
@@ -84,6 +113,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # pipeline for BOTH sides; persist the (id, band, bucket) projection
     # (tiny: 3 longs × bands per doc) so each side is a cache scan
     banded = banded.persist()
+    if max_bucket_size is not None:
+        ok_buckets = (banded.groupBy("band", "bucket")
+                      .agg(F.count(F.lit(1)).alias("_n"))
+                      .filter(F.col("_n") <= max_bucket_size)
+                      .drop("_n"))
+        banded = banded.join(ok_buckets, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -97,23 +132,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             content_col: str = "text",
                             threshold: float = 0.7, num_perm: int = 64,
-                            bands: int = 16,
-                            shingle_n: int = 3) -> DataFrame:
+                            bands: int = 16, shingle_n: int = 3,
+                            max_bucket_size: int | None = 200) -> DataFrame:
     """LSH candidates verified with exact Jaccard on shingle sets:
-    (id_a, id_b, jaccard)."""
+    (id_a, id_b, jaccard). The shingle projection is persisted so the
+    two verify-joins scan it instead of re-tokenizing the corpus."""
     pairs = lsh_candidate_pairs(df, id_col, content_col, num_perm, bands,
-                                shingle_n)
+                                shingle_n, max_bucket_size)
     sh = df.select(F.col(id_col).alias("_id"),
                    word_shingles(F.col(content_col), shingle_n)
-                   .alias("_sh"))
+                   .alias("_sh")).persist()
     joined = (pairs
               .join(sh.withColumnRenamed("_id", "id_a")
                     .withColumnRenamed("_sh", "sh_a"), "id_a")
               .join(sh.withColumnRenamed("_id", "id_b")
                     .withColumnRenamed("_sh", "sh_b"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")
-             - F.size(F.array_intersect("sh_a", "sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (joined.select("id_a", "id_b",
                           (inter / union).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
@@ -153,27 +188,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash64(text: Column, seed: int = 7) -> Column:
     """64-bit SimHash over word tokens: bit b set iff the majority of
-    token-hashes have bit b set. Pure bit-twiddling expressions; the
-    64-bit loop is unrolled driver-side (shift amounts must be Python
-    ints for the shiftleft/shiftright wrappers) and each token is
-    hashed exactly once."""
-    toks = F.array_distinct(F.split(F.lower(text), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
-    n = F.size(toks)
-    def bit_set(b: int):
-        # NB: must close over b via a factory — a `lambda h, _b=b:`
-        # default would raise the HOF lambda's arity to 2 and bind _b
-        # to a lambda variable instead of the int.
-        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+    token-hashes have bit b set.
 
-    out = F.lit(0).cast("long")
-    for b in range(64):
-        ones = F.size(F.filter(hashes, bit_set(b)))
-        out = out.bitwiseOR(
-            F.when(ones * 2 > n,
-                   F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")))
-    return out
+    One fold over the token array: per token, its hash's 64 bits come
+    from the binary-string representation (computed once per token) and
+    are zip-added into a 64-wide counter array; a final fold packs the
+    majority votes MSB-first into a long. (The per-bit filter() form
+    re-evaluated the tokenize+hash pipeline 64 times per row.)"""
+    toks = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    n = F.size(toks)
+    idx64 = F.sequence(F.lit(1), F.lit(64))
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                idx64,
+                lambda i: F.substring(
+                    F.lpad(F.bin(F.xxhash64(t, F.lit(seed))), 64, "0"),
+                    i, F.lit(1)).cast("int")),
+            lambda a, b: a + b))
+    return F.aggregate(
+        counts, F.lit(0).cast("long"),
+        # shiftleft, not *2: setting bit 63 overflows a signed long and
+        # ANSI mode (Spark 4 default) raises on arithmetic overflow
+        lambda acc, c: F.shiftleft(acc, 1)
+        .bitwiseOR((c * 2 > n).cast("long")))
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
