@@ -28,7 +28,7 @@ from jsi_spark.exec.referential import dangling_refs
 from jsi_spark.exec.stats import column_stats
 from jsi_spark.exec.uniqueness import duplicate_keys
 from jsi_spark.exec.verdicts import partition_verdicts
-from jsi_spark.functions.udfs import valid_json_udf
+from jsi_spark.functions.udfs import valid_json_udf, violations_json_udf
 from jsi_spark.ops.dedup import (
     exact_duplicates, minhash_near_duplicates, ngram_jaccard_pairs,
     simhash_candidates,
@@ -150,6 +150,20 @@ PROPS_JSON_SCHEMA = {
     "properties": {"k": {"type": "integer", "minimum": 5, "maximum": 95}},
 }
 
+#: draft-04 dialect: boolean exclusiveMaximum modifies maximum
+#: (reference: lib/jsi/schema/elements/numeric_draft04.rb:5-38)
+LINEITEM_D4_SCHEMA = {
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "type": "object",
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 1,
+                       "maximum": 50, "exclusiveMaximum": True},
+        "l_discount": {"type": "number", "minimum": 0.05,
+                       "exclusiveMinimum": True},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+    },
+}
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -207,6 +221,28 @@ def q_events_json_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_udf = valid_json_udf(compile_schema(PROPS_JSON_SCHEMA))
     return events.select("event_id",
                          valid_udf(F.col("props")).alias("valid"))
+
+
+def q_lineitem_draft04_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """draft-04 dialect: boolean exclusiveMaximum/Minimum forms."""
+    li = _read(spark, sf_dir, "lineitem")
+    tv = typed_validator(compile_schema(LINEITEM_D4_SCHEMA), li.schema)
+    return li.select("l_orderkey", "l_linenumber",
+                     tv.valid_column().alias("valid"))
+
+
+def q_events_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic Arrow-UDF path, Result::Full mode: violation rows from
+    arbitrary-JSON instances."""
+    ensure_py_files(spark)
+    events = _read(spark, sf_dir, "events")
+    viol_udf = violations_json_udf(compile_schema(PROPS_JSON_SCHEMA))
+    return (events
+            .select("event_id", F.explode(viol_udf(F.col("props")))
+                    .alias("v"))
+            .select("event_id", F.col("v.keyword").alias("keyword"),
+                    F.col("v.ptr").alias("ptr"),
+                    F.col("v.message_key").alias("message_key")))
 
 
 def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_valid": q_orders_valid,
         "orders_violations": q_orders_violations,
         "events_json_valid": q_events_json_valid,
+        "events_json_violations": q_events_json_violations,
+        "lineitem_draft04_valid": q_lineitem_draft04_valid,
         "column_stats_lineitem": q_column_stats_lineitem,
         "duplicate_user_ids": q_duplicate_user_ids,
         "referential_dangling": q_referential_dangling,
@@ -594,6 +632,32 @@ def oracle_sql() -> dict[str, str]:
                          CAST(json_extract_string(props, '$.k') AS BIGINT)
                            AS k
                   FROM events)""",
+        "events_json_violations": """
+            WITH k AS (SELECT event_id,
+                              CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) AS k
+                       FROM events),
+            bad AS (SELECT event_id,
+                           CASE WHEN k < 5 THEN 'minimum'
+                                ELSE 'maximum' END AS kw,
+                           CASE WHEN k < 5
+                                THEN 'validation.keyword.minimum.less'
+                                ELSE 'validation.keyword.maximum.greater'
+                           END AS mk
+                    FROM k WHERE k < 5 OR k > 95)
+            SELECT event_id, 'properties' AS keyword, '/k' AS ptr,
+                   'validation.keyword.properties.invalid' AS message_key
+            FROM bad
+            UNION ALL
+            SELECT event_id, kw, '/k', mk FROM bad""",
+        "lineitem_draft04_valid": """
+            SELECT l_orderkey, l_linenumber, (
+              (l_quantity IS NULL
+               OR (l_quantity >= 1 AND l_quantity < 50))
+              AND (l_discount IS NULL OR l_discount > 0.05)
+              AND (l_returnflag IS NULL
+                   OR l_returnflag IN ('A', 'N', 'R'))
+            ) AS valid FROM lineitem""",
         "column_stats_lineitem": stats_sql,
         "duplicate_user_ids": """
             SELECT user_id, COUNT(*) AS dup_count

@@ -17,7 +17,8 @@ PARITY = ["docs_valid", "docs_violations", "docs_verdicts",
           "orders_violations", "duplicate_user_ids",
           "referential_dangling", "psi_value_drift",
           "token_counts", "lang_id", "quality_scores", "fingerprints",
-          "dedup_exact", "ann_bruteforce"]
+          "dedup_exact", "ann_bruteforce", "events_json_violations",
+          "lineitem_draft04_valid"]
 
 
 @pytest.fixture(scope="module")

@@ -91,8 +91,15 @@ def _node_schema(rng: random.Random, depth: int) -> dict:
             rng, depth + 1)}}
 
 
+DRAFTS = ["https://json-schema.org/draft/2020-12/schema",
+          "http://json-schema.org/draft-07/schema#",
+          "http://json-schema.org/draft-06/schema#"]
+
+
 def _root_schema(rng: random.Random) -> dict:
-    root = {"$schema": "https://json-schema.org/draft/2020-12/schema"}
+    # drafts differ in items form and keyword sets; the compiler's
+    # dialect layer must keep the two paths in agreement on all of them
+    root = {"$schema": rng.choice(DRAFTS)}
     cols = rng.sample(["s", "n", "x", "arr", "obj"], rng.randint(1, 3))
     root["properties"] = {c: _node_schema(rng, 0) for c in cols}
     if rng.random() < 0.3:
