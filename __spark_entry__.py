@@ -195,6 +195,60 @@ def q_docs_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_verdicts(checked)
 
 
+def q_docs_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains/minContains over the spans array (HOF child applicator):
+    a doc is media-bearing iff some span has kind='image'."""
+    docs = _interleaved_docs(spark, sf_dir)
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "properties": {"spans": {
+            "contains": {"properties": {"kind": {"const": "image"}},
+                         "required": ["kind"]},
+            "minContains": 1}},
+    }
+    tv = typed_validator(compile_schema(schema), DOCS_SCHEMA)
+    return docs.select("doc_id", tv.valid_column().alias("has_image"))
+
+
+def q_span_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row span-sequence equality invariant (north_rule): the
+    engine's materialized spans, exploded to (doc_id, pos, kind, text,
+    media_ref), diffed exhaustively against an INDEPENDENT expectation
+    derived straight from the documents table. Returns mismatch rows —
+    the oracle asserts the result is EMPTY."""
+    docs = _interleaved_docs(spark, sf_dir)
+    engine = (docs.select("doc_id", F.posexplode("spans")
+                          .alias("pos", "s"))
+              .select("doc_id", "pos",
+                      F.col("s.kind").alias("kind"),
+                      F.col("s.text").alias("text"),
+                      F.col("s.media_ref").alias("media_ref")))
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    doc_id = (F.when(i % 29 == 7, F.concat(F.lit("DOC_"), i.cast("string")))
+              .otherwise(F.format_string("doc-%09d", i)))
+    e0 = d.select(
+        doc_id.alias("doc_id"), F.lit(0).alias("pos"),
+        F.when(i % 23 == 11, F.lit("bogus")).otherwise(F.lit("text"))
+        .alias("kind"),
+        F.when(i % 19 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"))
+    e1 = d.filter(i % 3 == 0).select(
+        doc_id.alias("doc_id"), F.lit(1).alias("pos"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("m"), (i % 40).cast("string")).alias("media_ref"))
+    expected = e0.unionByName(e1)
+    joined = engine.alias("g").join(
+        expected.alias("e"), ["doc_id", "pos"], "full_outer")
+    neq = lambda c: ~(F.col(f"g.{c}").eqNullSafe(F.col(f"e.{c}")))  # noqa: E731
+    return (joined.filter(neq("kind") | neq("text") | neq("media_ref"))
+            .select("doc_id", "pos",
+                    F.col("g.kind").alias("engine_kind"),
+                    F.col("e.kind").alias("expected_kind")))
+
+
 def q_orders_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     tv = typed_validator(compile_schema(ORDERS_JSON_SCHEMA), orders.schema)
@@ -374,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_valid": q_docs_valid,
         "docs_violations": q_docs_violations,
         "docs_verdicts": q_docs_verdicts,
+        "docs_contains": q_docs_contains,
+        "span_equality": q_span_equality,
         "orders_valid": q_orders_valid,
         "orders_violations": q_orders_violations,
         "events_json_valid": q_events_json_valid,
@@ -597,6 +653,16 @@ def oracle_sql() -> dict[str, str]:
                      AS failed,
                    (SUM(CASE WHEN valid THEN 0 ELSE 1 END) = 0) AS pass
             FROM v GROUP BY part""",
+        "docs_contains": f"""
+            SELECT {doc_id_sql} AS doc_id,
+                   (doc_id % 3 = 0) AS has_image
+            FROM documents""",
+        "span_equality": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS INTEGER) AS pos,
+                   CAST(NULL AS VARCHAR) AS engine_kind,
+                   CAST(NULL AS VARCHAR) AS expected_kind
+            WHERE 1 = 0""",
         "orders_valid": """
             SELECT o_orderkey, (
               o_orderkey IS NOT NULL AND o_custkey IS NOT NULL

@@ -18,7 +18,7 @@ PARITY = ["docs_valid", "docs_violations", "docs_verdicts",
           "referential_dangling", "psi_value_drift",
           "token_counts", "lang_id", "quality_scores", "fingerprints",
           "dedup_exact", "ann_bruteforce", "events_json_violations",
-          "lineitem_draft04_valid"]
+          "lineitem_draft04_valid", "docs_contains", "span_equality"]
 
 
 @pytest.fixture(scope="module")
