@@ -20,9 +20,12 @@ an array<struct> column of violation rows, intended to run only on the
 rows that already failed the boolean pass (filter-first, so the expensive
 error expansion never touches passing rows).
 
-Keywords not expressible as typed Columns ($dynamicRef, unevaluated*,
-patternProperties on structs, ...) raise TypedCompileError; callers fall
-back to the Arrow-UDF generic path.
+Every keyword compiles on this path — including unevaluated* (validity-
+gated evaluated-annotation masks) and $dynamicRef (the dynamic-scope
+resource chain is statically known along the inlined walk). Remaining
+fallbacks to the Arrow-UDF generic path raise TypedCompileError:
+unevaluatedProperties over MapType (unbounded key space) and cyclic
+$ref graphs beyond max_ref_depth.
 """
 
 from __future__ import annotations
@@ -49,9 +52,7 @@ class TypedCompileError(ValueError):
     generic Arrow-UDF path instead."""
 
 
-_UNSUPPORTED = frozenset({
-    "dynamic_ref",
-})
+_UNSUPPORTED = frozenset()
 
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                   T.FloatType, T.DoubleType, T.DecimalType)
@@ -124,12 +125,19 @@ class TypedValidator:
     # -- node compilation -------------------------------------------------------
 
     def _node(self, node: SchemaNode, ctx: _Ctx,
-              depth: int) -> tuple[Column, Column]:
-        """Returns (valid Column, violations Column)."""
+              depth: int, scope: tuple = ()) -> tuple[Column, Column]:
+        """Returns (valid Column, violations Column). ``scope`` is the
+        dynamic-scope resource chain (outermost first) accumulated along
+        this compile-time walk — the typed analog of the generic path's
+        runtime scope (compiler.py SchemaNode.validate), statically known
+        here because $refs are inlined."""
         if depth > self.max_ref_depth:
             raise TypedCompileError(
                 f"$ref nesting exceeds {self.max_ref_depth} at "
                 f"{node.location} (cyclic schema? use the generic path)")
+        sres = node.scope_resource
+        if sres is not None and (not scope or scope[-1] is not sres):
+            scope = scope + (sres,)
         if node.value is True or node.value == {}:
             return F.lit(True), _empty_viols()
         if node.value is False:
@@ -144,14 +152,29 @@ class TypedValidator:
         checks: list[tuple[Column, Column]] = []
 
         if "ref" in kw:
-            checks.append(self._node(kw["ref"], ctx, depth + 1))
+            checks.append(self._node(kw["ref"], ctx, depth + 1, scope))
             if node.dialect.ref_exclusive:
                 return self._combine(checks)
+        if "dynamic_ref" in kw:
+            checks.append(self._node(
+                self._dynamic_target(node, scope), ctx, depth + 1, scope))
 
         self._assertions(node, ctx, checks)
-        self._inplace(node, ctx, depth, checks)
-        self._children(node, ctx, depth, checks)
+        self._inplace(node, ctx, depth, checks, scope)
+        self._children(node, ctx, depth, checks, scope)
         return self._combine(checks)
+
+    @staticmethod
+    def _dynamic_target(node: SchemaNode, scope: tuple) -> SchemaNode:
+        """Outermost dynamic-scope resource holding the anchor wins
+        (2020-12 §8.2.3.2; generic analog: compiler.py validate's
+        dynamic_ref loop; reference: elements/dynamic_ref.rb:5-68)."""
+        anchor, static_node = node.kw["dynamic_ref"]
+        for res in scope:
+            p = res.dynamic_anchors.get(anchor)
+            if p is not None:
+                return node.engine._node_for(res, p, node.dialect)
+        return static_node
 
     def _combine(self, checks) -> tuple[Column, Column]:
         if not checks:
@@ -381,13 +404,14 @@ class TypedValidator:
 
     # -- in-place applicators (SURVEY.md §2.2) ------------------------------------
 
-    def _inplace(self, node: SchemaNode, ctx: _Ctx, depth: int, checks):
+    def _inplace(self, node: SchemaNode, ctx: _Ctx, depth: int, checks,
+                 scope: tuple = ()):
         kw = node.kw
         if "allOf" in kw:
-            subs = [self._node(n, ctx, depth + 1) for n in kw["allOf"]]
+            subs = [self._node(n, ctx, depth + 1, scope) for n in kw["allOf"]]
             checks.extend(subs)
         if "anyOf" in kw:
-            subs = [self._node(n, ctx, depth + 1) for n in kw["anyOf"]]
+            subs = [self._node(n, ctx, depth + 1, scope) for n in kw["anyOf"]]
             valid = subs[0][0]
             for v, _ in subs[1:]:
                 valid = valid | v
@@ -397,7 +421,7 @@ class TypedValidator:
                                     "validation.keyword.anyOf.not_any_valid")))
             checks.append((valid, viols))
         if "oneOf" in kw:
-            subs = [self._node(n, ctx, depth + 1) for n in kw["oneOf"]]
+            subs = [self._node(n, ctx, depth + 1, scope) for n in kw["oneOf"]]
             count = subs[0][0].cast("int")
             for v, _ in subs[1:]:
                 count = count + v.cast("int")
@@ -414,7 +438,7 @@ class TypedValidator:
                                       "multiple_valid")))
             checks.append((valid, viols))
         if "not" in kw:
-            sub_valid, _ = self._node(kw["not"], ctx, depth + 1)
+            sub_valid, _ = self._node(kw["not"], ctx, depth + 1, scope)
             valid = ~sub_valid
             checks.append((valid, self._emit(ctx, "not",
                                              "validation.keyword.not.valid",
@@ -441,12 +465,12 @@ class TypedValidator:
                     checks.append((valid, viols))
 
         if "if" in kw:
-            if_valid, _ = self._node(kw["if"], ctx, depth + 1)
+            if_valid, _ = self._node(kw["if"], ctx, depth + 1, scope)
             then_valid, then_viols = (
-                self._node(kw["then"], ctx, depth + 1)
+                self._node(kw["then"], ctx, depth + 1, scope)
                 if "then" in kw else (F.lit(True), _empty_viols()))
             else_valid, else_viols = (
-                self._node(kw["else"], ctx, depth + 1)
+                self._node(kw["else"], ctx, depth + 1, scope)
                 if "else" in kw else (F.lit(True), _empty_viols()))
             valid = F.when(if_valid, then_valid).otherwise(else_valid)
             if ctx.collect:
@@ -470,7 +494,8 @@ class TypedValidator:
     # -- child applicators (SURVEY.md §2.3) ----------------------------------------
 
     def _child_check(self, child_node, ctx: _Ctx, name: str, child_col,
-                     child_dt, depth: int) -> tuple[Column, Column]:
+                     child_dt, depth: int,
+                     scope: tuple = ()) -> tuple[Column, Column]:
         """Validate one named child; absent parent/child ⇒ vacuous.
 
         The child-NULL gate matters for combinators: assertions are
@@ -481,7 +506,7 @@ class TypedValidator:
         child_ctx = _Ctx(child_col, child_dt,
                          F.concat(ctx.ptr, F.lit("/" + name)),
                          ctx.span_index, ctx.collect)
-        valid, viols = self._node(child_node, child_ctx, depth + 1)
+        valid, viols = self._node(child_node, child_ctx, depth + 1, scope)
         absent = ctx.col.isNull() | child_col.isNull()
         valid = F.when(absent, F.lit(True)).otherwise(valid)
         if ctx.collect:
@@ -490,7 +515,7 @@ class TypedValidator:
         return valid, viols
 
     def _object_children(self, node: SchemaNode, ctx: _Ctx, depth: int,
-                         checks):
+                         checks, scope: tuple = ()):
         kw = node.kw
         is_struct = isinstance(ctx.dtype, T.StructType)
         is_map = isinstance(ctx.dtype, T.MapType)
@@ -515,7 +540,7 @@ class TypedValidator:
                     continue  # never present → vacuously valid
                 checks.append(self._child_check(
                     child_node, ctx, name, child_col(name), child_dt(name),
-                    depth))
+                    depth, scope))
 
         if pprops:
             if is_struct:
@@ -526,7 +551,7 @@ class TypedValidator:
                         if rx.search(name):
                             checks.append(self._child_check(
                                 sub_node, ctx, name, child_col(name),
-                                fields[name], depth))
+                                fields[name], depth, scope))
             else:
                 # runtime key matching over map entries (Java regex —
                 # documented deviation of the typed path)
@@ -535,7 +560,8 @@ class TypedValidator:
                         sub_node, ctx, val_dt,
                         lambda k, pat=pat: k.rlike(pat), depth,
                         "patternProperties",
-                        "validation.keyword.patternProperties.invalid"))
+                        "validation.keyword.patternProperties.invalid",
+                        scope))
 
         if "additionalProperties" in kw:
             sub_node = kw["additionalProperties"]
@@ -547,7 +573,7 @@ class TypedValidator:
                         continue
                     checks.append(self._child_check(
                         sub_node, ctx, name, child_col(name), fields[name],
-                        depth))
+                        depth, scope))
             else:
                 prop_names = [F.lit(n) for n in props]
 
@@ -561,7 +587,8 @@ class TypedValidator:
                 checks.append(self._entries_check(
                     sub_node, ctx, val_dt, is_additional, depth,
                     "additionalProperties",
-                    "validation.keyword.additionalProperties.invalid"))
+                    "validation.keyword.additionalProperties.invalid",
+                    scope))
 
         if "propertyNames" in kw:
             sub_node = kw["propertyNames"]
@@ -570,7 +597,7 @@ class TypedValidator:
                     name_ctx = _Ctx(F.lit(name), T.StringType(),
                                     F.concat(ctx.ptr, F.lit("/" + name)),
                                     ctx.span_index, ctx.collect)
-                    nv, nviols = self._node(sub_node, name_ctx, depth + 1)
+                    nv, nviols = self._node(sub_node, name_ctx, depth + 1, scope)
                     valid = F.when(
                         ctx.col.isNull() | ~self._present(ctx, name),
                         F.lit(True)).otherwise(nv)
@@ -582,7 +609,7 @@ class TypedValidator:
                 def name_valid(k):
                     name_ctx = _Ctx(k, T.StringType(), ctx.ptr,
                                     ctx.span_index, False)
-                    return self._node(sub_node, name_ctx, depth + 1)[0]
+                    return self._node(sub_node, name_ctx, depth + 1, scope)[0]
 
                 ok = F.forall(F.map_keys(ctx.col), name_valid)
                 valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(ok)
@@ -593,7 +620,8 @@ class TypedValidator:
 
     def _entries_check(self, sub_node, ctx: _Ctx, val_dt,
                        key_gate, depth: int, keyword: str,
-                       message_key: str) -> tuple[Column, Column]:
+                       message_key: str,
+                       scope: tuple = ()) -> tuple[Column, Column]:
         """Map-typed child application: validate every entry whose key
         passes ``key_gate``; one summary violation on failure (per-entry
         rows would need posexplode, which the caller can do via ptr)."""
@@ -601,15 +629,16 @@ class TypedValidator:
             ectx = _Ctx(e["value"], val_dt, ctx.ptr, ctx.span_index, False)
             # NULL map value models absent (same gate as _child_check)
             return (~key_gate(e["key"]) | e["value"].isNull()
-                    | self._node(sub_node, ectx, depth + 1)[0])
+                    | self._node(sub_node, ectx, depth + 1, scope)[0])
 
         ok = F.forall(F.map_entries(ctx.col), entry_ok)
         valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(ok)
         return valid, self._emit(ctx, keyword, message_key, ~valid)
 
-    def _children(self, node: SchemaNode, ctx: _Ctx, depth: int, checks):
+    def _children(self, node: SchemaNode, ctx: _Ctx, depth: int, checks,
+                  scope: tuple = ()):
         kw = node.kw
-        self._object_children(node, ctx, depth, checks)
+        self._object_children(node, ctx, depth, checks, scope)
 
         arr = isinstance(ctx.dtype, T.ArrayType)
         elem_dt = ctx.dtype.elementType if arr else None
@@ -619,7 +648,7 @@ class TypedValidator:
             span = ctx.span_index if ctx.span_index is not None else \
                 i.cast("int")
             ectx = _Ctx(x, elem_dt, eptr, span, ctx.collect)
-            return self._node(child_node, ectx, depth + 1)
+            return self._node(child_node, ectx, depth + 1, scope)
 
         for items_kw in ("items_schema", "items_rest"):
             if items_kw in kw and arr:
@@ -652,7 +681,7 @@ class TypedValidator:
                             F.concat(ctx.ptr, F.lit(f"/{i}")),
                             ctx.span_index if ctx.span_index is not None
                             else F.lit(i), ctx.collect)
-                v, viols = self._node(child_node, ectx, depth + 1)
+                v, viols = self._node(child_node, ectx, depth + 1, scope)
                 valid = F.when(ctx.col.isNull() | ~has,
                                F.lit(True)).otherwise(v)
                 if ctx.collect:
@@ -666,7 +695,7 @@ class TypedValidator:
                             F.concat(ctx.ptr, F.lit(f"/{i}")),
                             ctx.span_index if ctx.span_index is not None
                             else F.lit(i), ctx.collect)
-                v, viols = self._node(child_node, ectx, depth + 1)
+                v, viols = self._node(child_node, ectx, depth + 1, scope)
                 valid = F.when(ctx.col.isNull() | ~has,
                                F.lit(True)).otherwise(v)
                 if ctx.collect:
@@ -700,14 +729,14 @@ class TypedValidator:
                                "validation.keyword.contains.none", ~valid)
             checks.append((valid, viols))
 
-        self._unevaluated(node, ctx, depth, checks, elem_pair)
+        self._unevaluated(node, ctx, depth, checks, elem_pair, scope)
 
     # -- unevaluated* (SURVEY.md §7.3; reference: elements/
     # unevaluated_items.rb, unevaluated_properties.rb; evaluated tokens
     # merge only from VALID in-place applications, result.rb:47-63) ------------
 
     def _unevaluated(self, node: SchemaNode, ctx: _Ctx, depth: int,
-                     checks, elem_pair):
+                     checks, elem_pair, scope: tuple = ()):
         kw = node.kw
         if "unevaluatedProperties" in kw:
             if isinstance(ctx.dtype, T.MapType):
@@ -716,12 +745,13 @@ class TypedValidator:
                     f"path (unbounded key space) at {node.location}")
             if isinstance(ctx.dtype, T.StructType):
                 sub = kw["unevaluatedProperties"]
-                ev = self._eval_props(node, ctx, depth, include_self=False)
+                ev = self._eval_props(node, ctx, depth, include_self=False, scope=scope)
                 fields = {f.name: f.dataType for f in ctx.dtype.fields}
                 for name, fdt in fields.items():
                     applies = self._present(ctx, name) & ~ev[name]
                     v, sviols = self._child_check(
-                        sub, ctx, name, ctx.col.getField(name), fdt, depth)
+                        sub, ctx, name, ctx.col.getField(name), fdt, depth,
+                        scope)
                     valid = F.when(applies, v).otherwise(F.lit(True))
                     if ctx.collect:
                         viols = F.when(applies & ~v, F.concat(
@@ -735,7 +765,7 @@ class TypedValidator:
         if "unevaluatedItems" in kw and isinstance(ctx.dtype, T.ArrayType):
             sub = kw["unevaluatedItems"]
             pred = self._eval_items_pred(node, ctx, depth,
-                                         include_self=False)
+                                         include_self=False, scope=scope)
             valid = _forall_idx(
                 ctx.col, lambda x, i: pred(x, i) | elem_pair(sub, x, i)[0])
             valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(valid)
@@ -745,7 +775,7 @@ class TypedValidator:
             checks.append((valid, viols))
 
     def _eval_props(self, node: SchemaNode, ctx: _Ctx, depth: int,
-                    include_self: bool = True) -> dict:
+                    include_self: bool = True, scope: tuple = ()) -> dict:
         """Per-field 'evaluated' Columns at this instance location for
         schema object ``node``: a field is evaluated iff some applicator
         in the node's in-place application graph applied a schema to it
@@ -767,7 +797,7 @@ class TypedValidator:
         def child_valid(sub_node, name):
             cctx = _Ctx(ctx.col.getField(name), fields[name], ctx.ptr,
                         ctx.span_index, False)
-            return self._node(sub_node, cctx, depth + 1)[0]
+            return self._node(sub_node, cctx, depth + 1, scope)[0]
 
         props = kw.get("properties", {})
         pprops = kw.get("patternProperties", ())
@@ -788,9 +818,9 @@ class TypedValidator:
                 add(name, child_valid(kw["unevaluatedProperties"], name))
 
         def branch(sub_node, gate=None):
-            bv = self._node(sub_node, ctx, depth + 1)[0]
+            bv = self._node(sub_node, ctx, depth + 1, scope)[0]
             g = bv if gate is None else (gate & bv)
-            bev = self._eval_props(sub_node, ctx, depth + 1)
+            bev = self._eval_props(sub_node, ctx, depth + 1, scope=scope)
             for name in fields:
                 add(name, bev[name] & g)
 
@@ -800,7 +830,7 @@ class TypedValidator:
             for sub_node in kw.get(k, ()):
                 branch(sub_node)
         if "if" in kw:
-            if_valid = self._node(kw["if"], ctx, depth + 1)[0]
+            if_valid = self._node(kw["if"], ctx, depth + 1, scope)[0]
             branch(kw["if"])
             if "then" in kw:
                 branch(kw["then"], gate=if_valid)
@@ -812,7 +842,7 @@ class TypedValidator:
         return ev
 
     def _eval_items_pred(self, node: SchemaNode, ctx: _Ctx, depth: int,
-                         include_self: bool = True):
+                         include_self: bool = True, scope: tuple = ()):
         """(x, i) -> 'evaluated' Column for array elements, composed
         across the node's in-place application graph with the same
         validity gating as ``_eval_props``."""
@@ -828,7 +858,7 @@ class TypedValidator:
 
         def elem_valid(sub_node, x, i):
             ectx = _Ctx(x, elem_dt, ctx.ptr, ctx.span_index, False)
-            return self._node(sub_node, ectx, depth + 1)[0]
+            return self._node(sub_node, ectx, depth + 1, scope)[0]
 
         for items_kw in ("items_schema", "items_rest"):
             if items_kw in kw:
@@ -854,9 +884,9 @@ class TypedValidator:
             preds.append(lambda x, i, s=sub_node: elem_valid(s, x, i))
 
         def branch(sub_node, gate=None):
-            bv = self._node(sub_node, ctx, depth + 1)[0]
+            bv = self._node(sub_node, ctx, depth + 1, scope)[0]
             g = bv if gate is None else (gate & bv)
-            bpred = self._eval_items_pred(sub_node, ctx, depth + 1)
+            bpred = self._eval_items_pred(sub_node, ctx, depth + 1, scope=scope)
             preds.append(lambda x, i, p=bpred, gg=g: p(x, i) & gg)
 
         if "ref" in kw:
@@ -865,7 +895,7 @@ class TypedValidator:
             for sub_node in kw.get(k, ()):
                 branch(sub_node)
         if "if" in kw:
-            if_valid = self._node(kw["if"], ctx, depth + 1)[0]
+            if_valid = self._node(kw["if"], ctx, depth + 1, scope)[0]
             branch(kw["if"])
             if "then" in kw:
                 branch(kw["then"], gate=if_valid)
