@@ -453,7 +453,7 @@ class TypedValidator:
                                            (T.StructType, T.MapType)):
                 for k, dep_node in kw[dep_kw].items():
                     sub_valid, sub_viols = self._node(dep_node, ctx,
-                                                      depth + 1)
+                                                      depth + 1, scope)
                     present = self._present(ctx, k)
                     valid = F.when(present, sub_valid).otherwise(F.lit(True))
                     if ctx.collect:
@@ -785,6 +785,9 @@ class TypedValidator:
             raise TypedCompileError(
                 f"$ref nesting exceeds {self.max_ref_depth} computing "
                 f"evaluated-property masks at {node.location}")
+        sres = node.scope_resource
+        if sres is not None and (not scope or scope[-1] is not sres):
+            scope = scope + (sres,)
         fields = {f.name: f.dataType for f in ctx.dtype.fields}
         ev = {name: F.lit(False) for name in fields}
         if not isinstance(node.value, dict):
@@ -826,6 +829,8 @@ class TypedValidator:
 
         if "ref" in kw:
             branch(kw["ref"])
+        if "dynamic_ref" in kw:
+            branch(self._dynamic_target(node, scope))
         for k in ("allOf", "anyOf", "oneOf"):
             for sub_node in kw.get(k, ()):
                 branch(sub_node)
@@ -850,6 +855,9 @@ class TypedValidator:
             raise TypedCompileError(
                 f"$ref nesting exceeds {self.max_ref_depth} computing "
                 f"evaluated-item masks at {node.location}")
+        sres = node.scope_resource
+        if sres is not None and (not scope or scope[-1] is not sres):
+            scope = scope + (sres,)
         if not isinstance(node.value, dict):
             return lambda x, i: F.lit(False)
         kw = node.kw
@@ -891,6 +899,8 @@ class TypedValidator:
 
         if "ref" in kw:
             branch(kw["ref"])
+        if "dynamic_ref" in kw:
+            branch(self._dynamic_target(node, scope))
         for k in ("allOf", "anyOf", "oneOf"):
             for sub_node in kw.get(k, ()):
                 branch(sub_node)

@@ -38,29 +38,32 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
         if f.dataType.typeName() in
         ("long", "integer", "double", "float", "short", "byte", "decimal")}
 
-    per_col = []
+    # ONE wide aggregate computes every column's stats in a single scan
+    # (partial map-side + final: one tiny row per group crosses the
+    # exchange), then an explode unpivots the wide row to long form —
+    # C columns cost one job, not C scans.
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in columns:
-        aggs = [
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"),
             (F.count_distinct(F.col(c)) if exact_distinct
              else F.approx_count_distinct(c, hll_rsd))
-            .alias("distinct_hll"),
-            F.min(c).cast("string").alias("min_val"),
-            F.max(c).cast("string").alias("max_val"),
+            .alias(f"__d_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
             (F.percentile_approx(c, list(quantiles), 10000)
              .cast("array<double>") if c in numeric
-             else F.lit(None).cast("array<double>")).alias("kll_quantiles"),
+             else F.lit(None).cast("array<double>")).alias(f"__q_{c}"),
         ]
-        keys = [F.lit(c).alias("column")]
-        if group_by:
-            g = df.groupBy(group_by).agg(*aggs)
-            per_col.append(g.select(group_by, *keys, *[F.col(a)
-                           for a in ("n_rows", "null_count", "distinct_hll",
-                                     "min_val", "max_val", "kll_quantiles")]))
-        else:
-            per_col.append(df.agg(*aggs).select(*keys, "*"))
-    out = per_col[0]
-    for p in per_col[1:]:
-        out = out.unionByName(p)
-    return out
+    wide = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
+    unpivoted = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("__n_rows").alias("n_rows"),
+                 F.col(f"__nc_{c}").alias("null_count"),
+                 F.col(f"__d_{c}").alias("distinct_hll"),
+                 F.col(f"__mn_{c}").alias("min_val"),
+                 F.col(f"__mx_{c}").alias("max_val"),
+                 F.col(f"__q_{c}").alias("kll_quantiles"))
+        for c in columns])).alias("__s")
+    keys = [group_by] if group_by else []
+    return wide.select(*keys, unpivoted).select(*keys, "__s.*")

@@ -20,19 +20,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Persisted intermediates registered here so long-running sessions (the
+# resumable CLI pipeline, the bench harness) can free them after the
+# consuming action; persist() entries in Spark's CacheManager are keyed
+# by logical plan and are NOT garbage-collected with the DataFrame.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by the dedup ops. Callers own
+    the cache lifecycle: call after the action that consumes the result
+    (later actions recompute — correct, just slower). Returns the number
+    of frames released."""
+    n = len(_CACHED)
+    while _CACHED:
+        _CACHED.pop().unpersist()
+    return n
+
 
 # -- exact ---------------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, content_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(id, dup_group_size, is_canonical): canonical = lowest id in its
-    content group. Shuffles only (content-hash, id)."""
-    w = Window.partitionBy(content_col)
+    content group.
+
+    Groups by ``(xxhash64(content), length(content))``, NOT the content
+    itself: the projection below the exchange is three fixed-width
+    values per row, so at 100 TB the shuffle carries ~20 B/doc while the
+    text stays in the scan stage. Collision risk for a 64-bit hash AND
+    equal length is ~n²/2⁶⁵ within a group — negligible and detectable
+    (a collision merges two groups; re-verify over-size groups by
+    content if that matters downstream)."""
+    w = Window.partitionBy("_h", "_len")
     w_rank = w.orderBy(F.col(id_col))
-    return df.select(
-        F.col(id_col),
-        F.count(F.lit(1)).over(w).alias("dup_group_size"),
-        (F.row_number().over(w_rank) == 1).alias("is_canonical"))
+    return (df.select(F.col(id_col),
+                      F.xxhash64(content_col).alias("_h"),
+                      F.length(content_col).alias("_len"))
+            .select(
+                F.col(id_col),
+                F.count(F.lit(1)).over(w).alias("dup_group_size"),
+                (F.row_number().over(w_rank) == 1).alias("is_canonical")))
 
 
 # -- shingles ---------------------------------------------------------------------
@@ -112,7 +146,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # the self-join would otherwise recompute the full shingle→minhash
     # pipeline for BOTH sides; persist the (id, band, bucket) projection
     # (tiny: 3 longs × bands per doc) so each side is a cache scan
-    banded = banded.persist()
+    banded = _persist(banded)
     if max_bucket_size is not None:
         ok_buckets = (banded.groupBy("band", "bucket")
                       .agg(F.count(F.lit(1)).alias("_n"))
@@ -139,9 +173,9 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     two verify-joins scan it instead of re-tokenizing the corpus."""
     pairs = lsh_candidate_pairs(df, id_col, content_col, num_perm, bands,
                                 shingle_n, max_bucket_size)
-    sh = df.select(F.col(id_col).alias("_id"),
-                   word_shingles(F.col(content_col), shingle_n)
-                   .alias("_sh")).persist()
+    sh = _persist(df.select(F.col(id_col).alias("_id"),
+                            word_shingles(F.col(content_col), shingle_n)
+                            .alias("_sh")))
     joined = (pairs
               .join(sh.withColumnRenamed("_id", "id_a")
                     .withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -158,13 +192,29 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         content_col: str = "text", shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact Jaccard over word n-gram sets for all pairs sharing ≥1
     shingle. The explode→join is the classic inverted-index plan: the
-    shuffle carries (shingle, id), and only co-occurring docs meet."""
+    shuffle carries (shingle, id), and only co-occurring docs meet.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap from the universe BEFORE the self-join (stop-shingle
+    removal): a shingle present in D docs contributes D²/2 pairs, so one
+    piece of corpus-wide boilerplate otherwise explodes the pair space
+    quadratically. The cap is applied consistently to numerator and
+    denominator — the result is exact Jaccard over the capped shingle
+    sets. ``None`` disables (exact, but unsafe on corpora with hot
+    boilerplate)."""
     sh = df.select(F.col(id_col).alias("_id"),
                    F.explode(word_shingles(F.col(content_col), shingle_n))
                    .alias("sh"))
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df)
+                .drop("_df"))
+        sh = _persist(sh.join(rare, "sh"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -190,24 +240,23 @@ def simhash64(text: Column, seed: int = 7) -> Column:
     """64-bit SimHash over word tokens: bit b set iff the majority of
     token-hashes have bit b set.
 
-    One fold over the token array: per token, its hash's 64 bits come
-    from the binary-string representation (computed once per token) and
-    are zip-added into a 64-wide counter array; a final fold packs the
-    majority votes MSB-first into a long. (The per-bit filter() form
-    re-evaluated the tokenize+hash pipeline 64 times per row.)"""
+    Pure integer bit math: tokens are hashed ONCE each (a transform
+    producing the hash array — NOT a hash expression inside the fold
+    lambda, which Spark would re-evaluate per bit), then a single fold
+    zip-adds each hash's 64 bits (``bit_get``, MSB-first) into a
+    64-wide counter array; a final fold packs the majority votes into a
+    long. Replaces the former ``lpad(bin(h))`` + 64 substring calls per
+    token — string work for what is integer bit extraction."""
     toks = F.array_distinct(F.split(F.lower(text), r"\s+"))
     n = F.size(toks)
-    idx64 = F.sequence(F.lit(1), F.lit(64))
+    msb_first = F.sequence(F.lit(63), F.lit(0), F.lit(-1))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     counts = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                idx64,
-                lambda i: F.substring(
-                    F.lpad(F.bin(F.xxhash64(t, F.lit(seed))), 64, "0"),
-                    i, F.lit(1)).cast("int")),
+            F.transform(msb_first, lambda i: F.bit_get(h, i).cast("int")),
             lambda a, b: a + b))
     return F.aggregate(
         counts, F.lit(0).cast("long"),
@@ -218,10 +267,16 @@ def simhash64(text: Column, seed: int = 7) -> Column:
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       content_col: str = "text",
-                       chunks: int = 4) -> DataFrame:
+                       content_col: str = "text", chunks: int = 4,
+                       max_bucket_size: int | None = 200) -> DataFrame:
     """Near-dup candidates sharing ≥1 of 4 16-bit SimHash chunks,
-    with exact Hamming distance attached."""
+    with exact Hamming distance attached.
+
+    ``max_bucket_size`` caps (chunk, val) bucket width before the
+    self-join, exactly as in :func:`lsh_candidate_pairs`: one hot 16-bit
+    chunk value (short/empty docs, template clusters) otherwise yields
+    B²/2 pairs. Docs in over-cap buckets are near-duplicates *as a
+    group* by construction — handle them as clusters, not pairs."""
     width = 64 // chunks
     h = df.select(F.col(id_col).alias("_id"),
                   simhash64(F.col(content_col)).alias("_h"))
@@ -234,7 +289,13 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
         .alias("cb")).select("_id", "_h", "cb.chunk", "cb.val")
     # persist the tiny fingerprint projection: the self-join must not
     # recompute the 64-bit majority-vote expression for both sides
-    banded = banded.persist()
+    banded = _persist(banded)
+    if max_bucket_size is not None:
+        ok_buckets = (banded.groupBy("chunk", "val")
+                      .agg(F.count(F.lit(1)).alias("_n"))
+                      .filter(F.col("_n") <= max_bucket_size)
+                      .drop("_n"))
+        banded = banded.join(ok_buckets, ["chunk", "val"])
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                     & (F.col("a.val") == F.col("b.val"))

@@ -40,11 +40,11 @@ LINEAGE_SCHEMA = ("run_id string, part int, snapshot_id string, "
                   "status string, started_at string, finished_at string")
 
 
-def _parts_committed(table: SnapshotTable, parts: list[int]) -> bool:
+def _parts_done(table: SnapshotTable) -> set[int]:
     done: set[int] = set()
     for s in table.manifest()["snapshots"]:
         done.update(s.get("meta", {}).get("parts", []))
-    return set(parts) <= done
+    return done
 
 
 class ValidationPipeline:
@@ -157,24 +157,28 @@ class ValidationPipeline:
             if fail_after_jobs is not None and j >= fail_after_jobs:
                 raise RuntimeError("simulated crash for resume test")
             started = _now()
-            sub = docs_p.filter(F.col("part").isin(parts))
             stage_of = {
-                "violations": lambda: self.local_violations(sub),
-                "verdicts": lambda: partition_verdicts(sub),
-                "metrics": lambda: self.metrics(sub),
+                "violations": self.local_violations,
+                "verdicts": partition_verdicts,
+                "metrics": self.metrics,
             }
-            # Per-table commits are not jointly atomic; idempotency comes
-            # from the parts recorded in each snapshot's meta — a resumed
-            # run skips any table that already committed these buckets,
-            # so a crash between the three commits can't double-commit.
+            # Per-table commits are not jointly atomic; idempotency is
+            # per PART: each table commits only the buckets it has not
+            # already recorded in a snapshot's meta. A crash between the
+            # three commits — or a resume with a different parts_per_job
+            # chunking — can therefore never double-commit a bucket's
+            # rows for any table.
             snap = None
             for name, build in stage_of.items():
-                if _parts_committed(tables[name], parts):
+                todo = sorted(set(parts) - _parts_done(tables[name]))
+                if not todo:
                     continue
-                batch = tables[name].stage_batch(build())
-                s = tables[name].commit([batch], {"parts": parts})
+                sub = docs_p.filter(F.col("part").isin(todo))
+                batch = tables[name].stage_batch(build(sub))
+                s = tables[name].commit([batch], {"parts": todo})
                 snap = snap or s
-            state.commit_parts(parts, snap or "snap-preexisting", started)
+            snap = snap or "snap-preexisting"
+            state.commit_parts(parts, snap, started)
             lineage = spark.createDataFrame(
                 [(state.run_id, p, snap, "committed", started, _now())
                  for p in parts], LINEAGE_SCHEMA)

@@ -197,3 +197,42 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, decode="real")
+
+
+def test_simhash_bucket_cap_defuses_hot_cluster(spark):
+    """A template cluster larger than max_bucket_size contributes no
+    pairs (it is a duplicate *group* by construction); uncapped it goes
+    quadratic."""
+    rows = [(i, "the same boilerplate text repeated for every document")
+            for i in range(30)]
+    rows += [(100, "a unique document about something else entirely"),
+             (101, "a unique document about something else entirely ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = simhash_candidates(df, max_bucket_size=None).count()
+    capped = {(r.id_a, r.id_b)
+              for r in simhash_candidates(df, max_bucket_size=10).collect()}
+    assert uncapped >= 30 * 29 / 2
+    assert not any(a < 30 and b < 30 for a, b in capped)
+
+
+def test_ngram_df_cap_drops_stop_shingles(spark):
+    """A corpus-wide shingle above the df cap is removed from the
+    universe (numerator AND denominator), so docs sharing only that
+    boilerplate yield no pairs."""
+    rows = [(i, f"alpha beta gamma u{i} v{i} w{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1,
+                                   max_shingle_df=None).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.1,
+                                 max_shingle_df=5).count()
+    assert uncapped == 20 * 19 / 2   # all pairs share "alpha beta gamma"
+    assert capped == 0
+
+
+def test_release_caches(spark, documents):
+    from jsi_spark.ops.dedup import release_caches
+
+    sub = documents.filter(F.col("doc_id") < 50)
+    minhash_near_duplicates(sub, threshold=0.8).count()
+    assert release_caches() >= 2
+    assert release_caches() == 0

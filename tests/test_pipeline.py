@@ -201,3 +201,45 @@ def test_resume_after_crash_between_table_commits(spark, docs, media,
     a = {tuple(r) for r in t["verdicts"].collect()}
     b = {tuple(r) for r in tc["verdicts"].collect()}
     assert a == b
+
+
+def test_resume_with_different_chunking_no_duplicates(spark, docs, media,
+                                                      tmp_path):
+    """Crash mid-run with parts_per_job=3, resume with parts_per_job=4:
+    the resumed job's chunks straddle the committed buckets, and only
+    the per-part (not per-chunk) idempotency check avoids re-committing
+    the overlap."""
+    from unittest import mock
+
+    from jsi_spark.io.tableio import SnapshotTable
+
+    out = str(tmp_path / "out_rechunk")
+    orig_commit = SnapshotTable.commit
+    calls = {"n": 0}
+
+    def flaky(self, batches, meta=None):
+        snap = orig_commit(self, batches, meta)
+        calls["n"] += 1
+        if calls["n"] == 1:   # violations for parts [0,1,2] committed
+            raise RuntimeError("crash after first table commit")
+        return snap
+
+    with mock.patch.object(SnapshotTable, "commit", flaky):
+        with pytest.raises(RuntimeError, match="after first table"):
+            ValidationPipeline(n_buckets=8).run(
+                spark, docs, media, out, parts_per_job=3)
+
+    result = ValidationPipeline(n_buckets=8).run(spark, docs, media, out,
+                                                 parts_per_job=4)
+    t = _read_all(spark, result)
+    clean = ValidationPipeline(n_buckets=8).run(
+        spark, docs, media, str(tmp_path / "out_rechunk_clean"))
+    tc = _read_all(spark, clean)
+    for name in ("violations", "verdicts", "metrics"):
+        a, b = t[name], tc[name]
+        assert a.count() == b.count(), \
+            f"{name}: resumed={a.count()} clean={b.count()}"
+        assert a.exceptAll(b).count() == 0, f"{name}: extra rows"
+    # lineage snapshot ids are never NULL (pre-existing commits get the
+    # explicit placeholder)
+    assert t["lineage"].filter(F.col("snapshot_id").isNull()).count() == 0

@@ -73,6 +73,17 @@ def test_stats_single_pass_partial_final(spark, docs):
     assert "partial_" in plan.lower() or "HashAggregate" in plan
 
 
+def test_stats_is_one_scan_one_exchange(spark, docs):
+    """ALL columns' stats come from ONE wide aggregate: one scan of the
+    input and one (partial→final) exchange — not C scans unioned."""
+    flat = docs.select("doc_id", F.size("spans").alias("n_spans"),
+                       F.size("spans").alias("b"), F.size("spans").alias("c"))
+    plan = plan_of(column_stats(flat, ["doc_id", "n_spans", "b", "c"]))
+    assert plan.count("Scan ") <= 1, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Union" not in plan, plan
+
+
 def test_salted_uniqueness_two_phase(spark, docs):
     plan = plan_of(duplicate_keys(docs, "doc_id", 16))
     # two aggregation phases: (key, salt) then key
@@ -90,3 +101,15 @@ def test_violations_filter_first(spark, docs):
     assert "Filter" in opt
     assert opt.index("Generate") < opt.index("Filter"), \
         "explode must be planned above (after) the validity filter"
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, docs):
+    """exact_duplicates must shuffle (id, hash, length) — the raw text
+    column must never be an exchange partition key."""
+    from jsi_spark.ops.dedup import exact_duplicates
+
+    flat = docs.select("doc_id", F.concat(F.lit("text-"), F.col("doc_id"))
+                       .alias("text"))
+    plan = plan_of(exact_duplicates(flat, content_col="text"))
+    assert "hashpartitioning(_h" in plan, plan
+    assert "hashpartitioning(text" not in plan, plan

@@ -45,10 +45,50 @@ STATIC_SCHEMA = {
 }
 
 
+# the dynamic-scope chain must survive dependentSchemas: the inner
+# resource's $dynamicRef still sees the ROOT resource's anchor as
+# outermost (regression: _inplace dropped `scope` for dependent schemas)
+DEP_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://typed.test/dyn3/root",
+    "$defs": {"T_outer": {"$dynamicAnchor": "T", "maxLength": 2}},
+    "dependentSchemas": {"arr": {
+        "$id": "https://typed.test/dyn3/inner",
+        "$defs": {"T_inner": {"$dynamicAnchor": "T", "maxLength": 99}},
+        "properties": {"arr": {"items": {"$dynamicRef": "#T"}}}}},
+}
+
+# properties applied THROUGH a $dynamicRef count as evaluated for
+# unevaluatedProperties (regression: _eval_props skipped dynamic_ref)
+UNEVAL_PROPS_DYN = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://typed.test/dyn4/root",
+    "$defs": {"all": {"$dynamicAnchor": "A",
+                      "properties": {"id": True, "arr": True}}},
+    "$dynamicRef": "#A",
+    "unevaluatedProperties": False,
+}
+
+# items applied THROUGH a $dynamicRef count as evaluated for
+# unevaluatedItems (regression: _eval_items_pred skipped dynamic_ref)
+UNEVAL_ITEMS_DYN = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://typed.test/dyn5/root",
+    "$defs": {"IT": {"$dynamicAnchor": "I", "items": {"maxLength": 3}}},
+    "properties": {"arr": {"$dynamicRef": "#I",
+                           "unevaluatedItems": False}},
+}
+
+
 @pytest.mark.parametrize("schema,expect", [
     (DYN_SCHEMA, {0: True, 1: False, 2: True, 3: True, 4: False}),
     (STATIC_SCHEMA, {0: True, 1: False, 2: True, 3: True, 4: False}),
-], ids=["dynamic-outer-wins", "no-anchor-acts-as-ref"])
+    (DEP_SCHEMA, {0: True, 1: False, 2: True, 3: True, 4: False}),
+    (UNEVAL_PROPS_DYN, {0: True, 1: True, 2: True, 3: True, 4: True}),
+    (UNEVAL_ITEMS_DYN, {0: True, 1: True, 2: True, 3: True, 4: False}),
+], ids=["dynamic-outer-wins", "no-anchor-acts-as-ref",
+        "scope-through-dependentSchemas", "uneval-props-via-dynamicRef",
+        "uneval-items-via-dynamicRef"])
 def test_dynamic_ref_typed_matches_generic(spark, schema, expect):
     compiled = compile_schema(schema)
     tv = typed_validator(compiled, ST)
