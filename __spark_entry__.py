@@ -637,7 +637,7 @@ def oracle_sql() -> dict[str, str]:
         FROM f
     """
 
-    return {
+    out = {
         "docs_valid": f"""
             SELECT {doc_id_sql} AS doc_id, {docs_valid} AS valid
             FROM documents""",
@@ -764,7 +764,18 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "ngram_jaccard": jaccard_sql,
         "ann_bruteforce": ann_sql,
-        # minhash_near_dups / simhash_candidates / ann_lsh / ann_ivf /
-        # media_features: xxhash64 / Python-side hashing — not
-        # SQL-expressible; the driver records rows-only checks.
     }
+    # minhash_near_dups / simhash_candidates / ann_lsh / ann_ivf /
+    # media_features need xxhash64, which DuckDB lacks — their oracles
+    # are literal VALUES tables recomputed in pure Python/numpy from the
+    # sf0.01 parquet (jsi_spark/oracles.py; XXH64 primitive pinned
+    # bit-exact vs the JVM by tests/test_xxh64_parity.py). Valid at the
+    # driver's correctness scale (sf0.01); if the data is unreadable the
+    # entries are omitted and the driver falls back to rows-only checks.
+    try:
+        from jsi_spark.oracles import golden_oracle_sqls
+
+        out.update(golden_oracle_sqls())
+    except Exception:
+        pass
+    return out

@@ -1,0 +1,319 @@
+"""Independently-derived golden oracles for the hash-dependent driver
+queries that plain DuckDB SQL cannot express (no xxhash64):
+minhash_near_dups, simhash_candidates, ann_lsh, ann_ivf, media_features.
+
+Each oracle recomputes the expected result in pure Python/numpy from the
+OPERATOR DEFINITIONS (MinHash banding, SimHash majority vote, sign-LSH,
+IVF probing, the synthetic media metadata formulas) over the
+deterministic test parquet — no Spark involved. The only shared code
+with the engine is the XXH64 primitive (jsi_spark.functions.xxh64),
+itself pinned bit-exact against the JVM by tests/test_xxh64_parity.py,
+and the driver-side plane/centroid constructors (plain ``random`` /
+arithmetic, not Spark). The result is rendered as a DuckDB
+``VALUES``-table SQL string, so the driver's oracle harness can compare
+rows/schema/values exactly as it does for the SQL-expressible queries.
+
+Validity: the golden is computed from the parquet under ``sf_dir`` at
+call time (default /root/testdata/sf0.01 — the driver's correctness
+scale), so it tracks the data, not a frozen fixture.
+
+Float parity notes:
+- tokenization mirrors Java ``\\s`` (ASCII-only class) and Spark
+  split's limit=-1 (trailing empties kept — re.split semantics);
+- rounding mirrors Spark's ROUND(d, 6): BigDecimal.valueOf →
+  Decimal(repr(x)), HALF_UP;
+- every floating sum/dot replicates the engine's sequential fold order
+  (IEEE doubles are deterministic given the same op order).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+from functools import lru_cache
+
+import numpy as np
+
+from jsi_spark.functions.xxh64 import hash_int_np, xxhash64
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+# Java \s (no UNICODE_CHARACTER_CLASS), as Spark's split() compiles it
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+_U64 = (1 << 64) - 1
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           ROUND_HALF_UP))
+
+
+def _tokens(text: str) -> list[str]:
+    return _WS.split(text.lower())
+
+
+def _shingles(toks: list[str], n: int = 3) -> set[str]:
+    return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+
+def _dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _read(sf_dir: str, table: str, cols: list[str]):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols)
+    return list(zip(*[t.column(c).to_pylist() for c in cols]))
+
+
+# -- minhash_near_dups ---------------------------------------------------------
+
+def minhash_rows(docs, threshold=0.5, num_perm=64, bands=16, shingle_n=3,
+                 max_bucket_size=200, seed=1337):
+    rpb = num_perm // bands
+    j_idx = np.arange(num_perm, dtype=np.int64)
+    sh_sets, sigs = {}, {}
+    for doc_id, text in docs:
+        sset = _shingles(_tokens(text), shingle_n)
+        sh_sets[doc_id] = sset
+        # engine: sig[j] = min over shingles of
+        #   xxhash64(xxhash64(s, lit(seed)), j) — the outer call chains
+        #   hash_long(inner, 42) then hash_int(j, ·); compute the
+        #   hash_long stage per shingle, vectorize the per-j stage
+        h1 = np.array([xxhash64(("long", xxhash64(s, seed)), seed=42)
+                       for s in sset], dtype=np.int64)
+        mat = hash_int_np(j_idx[None, :], h1[:, None])
+        sigs[doc_id] = mat.min(axis=0)
+    buckets = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = ",".join(str(int(x))
+                           for x in sig[b * rpb:(b + 1) * rpb])
+            buckets[(b, xxhash64(key))].append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[k]))
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = sh_sets[a], sh_sets[b]
+        inter = float(len(sa & sb))
+        union = float(len(sa)) + float(len(sb)) - inter
+        j = inter / union
+        if j >= threshold:
+            rows.append((a, b, _round6(j)))
+    return rows
+
+
+# -- simhash_candidates --------------------------------------------------------
+
+def simhash_rows(docs, chunks=4, max_bucket_size=200, seed=7,
+                 max_hamming=4):
+    width = 64 // chunks
+    shifts = (np.uint64(63) - np.arange(64, dtype=np.uint64))
+    fingerprints = {}
+    for doc_id, text in docs:
+        toks = list(dict.fromkeys(_tokens(text)))   # array_distinct order
+        n = len(toks)
+        hs = np.array([xxhash64(t, seed, seed=42) for t in toks],
+                      dtype=np.int64).astype(np.uint64)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        counts = bits.sum(axis=0)
+        h = 0
+        for c in counts:          # MSB-first pack, majority vote
+            h = ((h << 1) | (1 if int(c) * 2 > n else 0)) & _U64
+        fingerprints[doc_id] = h - (1 << 64) if h >= (1 << 63) else h
+    buckets = defaultdict(list)
+    for doc_id, h in fingerprints.items():
+        for c in range(chunks):
+            buckets[(c, (h >> (c * width)) & ((1 << width) - 1))] \
+                .append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        if max_bucket_size is not None and len(ids) > max_bucket_size:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[k]))
+    rows = []
+    for a, b in sorted(pairs):
+        ham = bin((fingerprints[a] ^ fingerprints[b]) & _U64).count("1")
+        if ham <= max_hamming:
+            rows.append((a, b, ham))
+    return rows
+
+
+# -- ANN (sign-LSH and IVF) ----------------------------------------------------
+
+def _topk_rows(cand_by_query, vecs, k=5):
+    rows = []
+    for q, cids in sorted(cand_by_query.items()):
+        qv = vecs[q]
+        qn = _norm(qv)
+        scored = []
+        for v in cids:
+            if v == q:
+                continue
+            sim = _round6(_dot(vecs[v], qv) / (_norm(vecs[v]) * qn))
+            scored.append((v, sim))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (v, sim) in enumerate(scored[:k], 1):
+            rows.append((q, v, rank, sim))
+    return rows
+
+
+def ann_lsh_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5,
+                 n_planes=8, n_tables=8, seed=99):
+    from jsi_spark.ops.similarity import lsh_tables
+
+    vecs = dict(emb)
+    tables = lsh_tables(dim=len(emb[0][1]), n_planes=n_planes,
+                        n_tables=n_tables, seed=seed)
+
+    def bucket(v, table):
+        acc = 0
+        for plane in table:
+            acc = acc * 2 + (1 if _dot(v, plane) >= 0.0 else 0)
+        return acc
+
+    cand = defaultdict(set)
+    for t_i, table in enumerate(tables):
+        by_bucket = defaultdict(list)
+        for vec_id, v in emb:
+            by_bucket[bucket(v, table)].append(vec_id)
+        for q in query_ids:
+            for vec_id in by_bucket.get(bucket(vecs[q], table), ()):
+                cand[q].add(vec_id)
+    return _topk_rows(cand, vecs, k)
+
+
+def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
+                 nprobe=3):
+    vecs = dict(emb)
+    # deterministic hash-sampled seeds (pmod(xxhash64(vec_id), 997), id)
+    order = sorted(emb, key=lambda r: (xxhash64(("long", r[0])) % 997,
+                                       r[0]))
+    cents = [list(v) for _, v in order[:n_centroids]]
+
+    def nearest(v, centroids):
+        nv = _norm(v)
+        best_i, best_s = 0, -1e30
+        for j, c in enumerate(centroids):
+            s = _dot(v, c) / nv
+            if s > best_s:
+                best_i, best_s = j, s
+        return best_i
+
+    # one Lloyd step: per-cluster component means (empty keeps seed)
+    members = defaultdict(list)
+    for vec_id, v in emb:
+        members[nearest(v, cents)].append(v)
+    refined = list(cents)
+    for c, vs in members.items():
+        dim = len(vs[0])
+        refined[c] = [sum(v[i] for v in vs) / len(vs) for i in range(dim)]
+
+    cells = defaultdict(list)
+    for vec_id, v in emb:
+        cells[nearest(v, refined)].append(vec_id)
+
+    cand = defaultdict(set)
+    for q in query_ids:
+        qv = list(vecs[q])
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        sims = []
+        for i, c in enumerate(refined):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            sims.append((sum(a * b for a, b in zip(qv, c)) / (qn * cn), i))
+        for _, i in sorted(sims, reverse=True)[:nprobe]:
+            cand[q].update(cells.get(i, ()))
+    return _topk_rows(cand, vecs, k)
+
+
+# -- media_features ------------------------------------------------------------
+
+def media_feature_rows(n_media=30, frame_sample_ms=1000, dim=16):
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n_media):
+        ref = f"m{i}"
+        kind = kinds[i % 3]
+        if kind == "image":
+            n_frames = 1
+        else:
+            duration = xxhash64(ref, 2) % 600_000 + 1000
+            n_frames = duration // frame_sample_ms + 1
+        rows.append((ref, kind, n_frames, dim))
+    return rows
+
+
+# -- VALUES-SQL rendering ------------------------------------------------------
+
+def _lit(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def values_sql(rows, cols: list[str], types: list[str]) -> str:
+    sel = ", ".join(f"CAST({c} AS {t}) AS {c}"
+                    for c, t in zip(cols, types))
+    if not rows:
+        nulls = ", ".join("NULL" for _ in cols)
+        return (f"SELECT {sel} FROM (VALUES ({nulls})) "
+                f"AS t({', '.join(cols)}) WHERE FALSE")
+    vals = ", ".join("(" + ", ".join(_lit(v) for v in r) + ")"
+                     for r in rows)
+    return f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
+
+
+@lru_cache(maxsize=4)
+def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
+    """DuckDB SQL (literal VALUES tables) for the five hash-dependent
+    driver queries, recomputed from the parquet under ``sf_dir``."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb_raw = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # engine casts float→double before scoring; float() of a float32
+    # parquet value is that exact cast
+    emb = [(vid, [float(x) for x in v]) for vid, v in emb_raw]
+    return {
+        "minhash_near_dups": values_sql(
+            minhash_rows(docs), ["id_a", "id_b", "jaccard"],
+            ["BIGINT", "BIGINT", "DOUBLE"]),
+        "simhash_candidates": values_sql(
+            simhash_rows(docs), ["id_a", "id_b", "hamming"],
+            ["BIGINT", "BIGINT", "INTEGER"]),
+        "ann_lsh": values_sql(
+            ann_lsh_rows(emb), ["query_id", "vec_id", "rank", "sim"],
+            ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
+        "ann_ivf": values_sql(
+            ann_ivf_rows(emb), ["query_id", "vec_id", "rank", "sim"],
+            ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
+        "media_features": values_sql(
+            media_feature_rows(), ["media_ref", "media_kind", "n_frames",
+                                   "dim"],
+            ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER"]),
+    }

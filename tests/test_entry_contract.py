@@ -70,3 +70,31 @@ def test_every_query_has_callable_shape(spark):
     assert set(oracles) <= set(qs)
     # ≥ 2/3 of queries must be oracle-gated (the strong check)
     assert len(oracles) * 3 >= len(qs) * 2
+
+
+# hash-dependent queries: oracle is a pure-Python/numpy golden rendered
+# as a VALUES table (jsi_spark/oracles.py), regenerated HERE at sf0.001
+# (oracle_sql() itself bakes the driver's sf0.01)
+GOLDEN = ["minhash_near_dups", "simhash_candidates", "ann_lsh",
+          "ann_ivf", "media_features"]
+
+
+@pytest.mark.parametrize("name", GOLDEN)
+def test_golden_oracle_matches_query(spark, con, name):
+    from jsi_spark.oracles import golden_oracle_sqls
+
+    df = E.queries()[name](spark, SF)
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    cur = con.execute(golden_oracle_sqls(SF)[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), \
+        f"spark={len(srows)} golden={len(orows)}"
+    assert _key(srows, scols) == _key(orows, ocols)
+
+
+def test_all_driver_queries_have_oracles():
+    """Round-2 goal: every queries() entry is oracle-gated."""
+    assert set(E.oracle_sql()) == set(E.queries())
