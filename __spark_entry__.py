@@ -303,7 +303,7 @@ def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     return column_stats(
         li, ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
-        exact_distinct=True).select(
+        exact_distinct=True, quantiles=()).select(
             "column", "n_rows", "null_count",
             F.col("distinct_hll").alias("distinct_cnt"),
             "min_val", "max_val")

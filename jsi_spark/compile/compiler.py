@@ -847,13 +847,25 @@ class CompiledSchema:
 
 def compile_schema(schema, registry: Registry | None = None,
                    dialect: Dialect | str | None = None,
-                   uri: str | None = None) -> CompiledSchema:
+                   uri: str | None = None,
+                   validate_schema: bool = True) -> CompiledSchema:
     """Compile a JSON Schema (dict or boolean) for repeated validation.
 
     ``dialect`` may be a Dialect or a name in {'draft4','draft6','draft7',
     'draft2020-12'}; default: detected from ``$schema``, falling back to
     2020-12 (reference default-metaschema behavior, lib/jsi.rb:159-182).
+
+    ``validate_schema`` (default on) first validates the schema DOCUMENT
+    against its dialect's meta-schema (schema-as-instance, the
+    reference's MetaSchemaNode behavior) and raises
+    ``jsi_spark.schema.metaschema.SchemaDocumentError`` with
+    keyword-level errors for malformed schemas.
     """
     if isinstance(dialect, str):
         dialect = DIALECTS[dialect]
+    if validate_schema:
+        from jsi_spark.schema.metaschema import check_schema_document
+
+        check_schema_document(
+            schema, dialect if isinstance(dialect, Dialect) else None)
     return CompiledSchema(schema, registry=registry, dialect=dialect, uri=uri)

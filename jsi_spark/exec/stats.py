@@ -44,15 +44,21 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
     # C columns cost one job, not C scans.
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in columns:
+        # exact distinct via size(collect_set): partial-mergeable in the
+        # same single pass as everything else. (count_distinct would
+        # force an Expand — input ×(C+1) — with several columns in one
+        # agg.) Memory is O(distinct values); that is fine for the
+        # oracle/test path this flag exists for — the corpus-scale
+        # default is the HLL sketch.
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"),
-            (F.count_distinct(F.col(c)) if exact_distinct
+            (F.size(F.collect_set(F.col(c))).cast("long") if exact_distinct
              else F.approx_count_distinct(c, hll_rsd))
             .alias(f"__d_{c}"),
             F.min(c).cast("string").alias(f"__mn_{c}"),
             F.max(c).cast("string").alias(f"__mx_{c}"),
             (F.percentile_approx(c, list(quantiles), 10000)
-             .cast("array<double>") if c in numeric
+             .cast("array<double>") if quantiles and c in numeric
              else F.lit(None).cast("array<double>")).alias(f"__q_{c}"),
         ]
     wide = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)

@@ -1,0 +1,91 @@
+"""Meta-schema self-validation of input schema documents: malformed
+schemas fail at compile with keyword-level errors (reference:
+lib/jsi/metaschema_node.rb; test/metaschema_node_test.rb is the model).
+No Spark needed — this is the driver-side generic path."""
+
+import pytest
+
+from jsi_spark.compile.compiler import compile_schema
+from jsi_spark.compile.dialects import DIALECTS
+from jsi_spark.schema.metaschema import (
+    SchemaDocumentError, check_schema_document, metaschema_for,
+)
+
+
+@pytest.mark.parametrize("name", sorted(DIALECTS))
+def test_metaschema_validates_itself(name):
+    """The reference's MetaSchemaNode bootstrap analog: each generated
+    meta-schema is a valid schema document of its authoring dialect."""
+    check_schema_document(metaschema_for(DIALECTS[name]))
+
+
+BAD = [
+    ({"required": "name"}, "required", "type.not_match"),
+    ({"required": ["a", "a"]}, "required", "uniqueItems"),
+    ({"type": "strnig"}, "type", "enum.none_equal"),
+    ({"maxLength": -1}, "maxLength", "minimum"),
+    ({"maxLength": 2.5}, "maxLength", "type.not_match"),
+    ({"multipleOf": 0}, "multipleOf", "exclusiveMinimum"),
+    ({"properties": {"x": 5}}, "properties", "type.not_match"),
+    ({"allOf": []}, "allOf", "minItems"),
+    ({"allOf": {"type": "string"}}, "allOf", "type.not_match"),
+    ({"enum": "abc"}, "enum", "type.not_match"),
+    ({"pattern": 5}, "pattern", "type.not_match"),
+    ({"$anchor": "0bad"}, "$anchor", "pattern"),
+    ({"dependentRequired": {"a": "b"}}, "dependentRequired",
+     "type.not_match"),
+    ({"$vocabulary": {"x": "yes"}}, "$vocabulary", "type.not_match"),
+    # nested: the malformed keyword sits in a subschema
+    ({"properties": {"x": {"minItems": -3}}}, "minItems", "minimum"),
+    ({"items": {"not": {"required": 7}}}, "required", "type.not_match"),
+]
+
+
+@pytest.mark.parametrize("schema,kw,frag", BAD,
+                         ids=[f"{k}-{f}" for _, k, f in BAD])
+def test_malformed_schema_fails_with_keyword_errors(schema, kw, frag):
+    with pytest.raises(SchemaDocumentError) as ei:
+        compile_schema(schema)
+    keys = " ".join(f"{e.keyword}:{e.message_key}:{e.instance_ptr}"
+                    for e in ei.value.errors)
+    assert frag in keys, keys
+
+
+def test_draft4_boolean_exclusive_and_nonempty_required():
+    # draft-04: exclusiveMaximum is a BOOLEAN, required must be non-empty
+    compile_schema({"maximum": 5, "exclusiveMaximum": True},
+                   dialect="draft4")
+    with pytest.raises(SchemaDocumentError):
+        compile_schema({"exclusiveMaximum": 5}, dialect="draft4")
+    with pytest.raises(SchemaDocumentError):
+        compile_schema({"required": []}, dialect="draft4")
+    # ≥06: numeric exclusiveMaximum, empty required both fine
+    compile_schema({"exclusiveMaximum": 5}, dialect="draft6")
+    compile_schema({"required": []}, dialect="draft6")
+
+
+def test_tuple_items_by_dialect():
+    tuple_form = {"items": [{"type": "string"}, {"type": "integer"}]}
+    compile_schema(dict(tuple_form), dialect="draft7")
+    with pytest.raises(SchemaDocumentError):
+        compile_schema(dict(tuple_form), dialect="draft2020-12")
+
+
+def test_valid_schemas_still_compile():
+    compile_schema({"type": "object",
+                    "properties": {"a": {"minLength": 2}},
+                    "required": ["a"]})
+    compile_schema(True)
+    compile_schema(False)
+    compile_schema({})
+
+
+def test_opt_out():
+    compile_schema({"required": "name"}, validate_schema=False)
+
+
+def test_error_points_into_schema_document():
+    with pytest.raises(SchemaDocumentError) as ei:
+        compile_schema({"properties": {"x": {"required": "nope"}}})
+    ptrs = [e.instance_ptr for e in ei.value.errors]
+    assert any(p == "/properties/x/required" for p in ptrs), ptrs
