@@ -107,6 +107,79 @@ class TypedValidator:
         _, viols = self._node(self.compiled.root, ctx, depth=0)
         return viols
 
+    def evaluated_props_columns(self) -> dict:
+        """Root-level evaluated-property masks: field name → boolean
+        Column, true iff some applicator in the root schema's in-place
+        application graph applied a schema to that field AND the
+        application validated (annotation semantics). The typed analog
+        of the reference's application inspection
+        (jsi Base#jsi_each_propertyName / application suite,
+        test/application_suite_test.rb)."""
+        ctx = self._root_ctx(collect=False)
+        return self._eval_props(self.compiled.root, ctx, 0)
+
+    def evaluated_items_mask(self, field: str) -> Column:
+        """array<boolean> per-element evaluated mask for root array
+        field ``field`` under the schema at ``properties/<field>`` —
+        which elements prefixItems/items/contains/in-place branches
+        applied to (validity-gated), BEFORE unevaluatedItems."""
+        node = self.compiled.root.kw.get("properties", {}).get(field)
+        if node is None:
+            raise KeyError(f"no properties/{field} subschema")
+        dtype = dict((f.name, f.dataType)
+                     for f in self.struct.fields)[field]
+        ctx = _Ctx(F.col(field), dtype, F.lit("/" + field), None, False)
+        pred = self._eval_items_pred(node, ctx, 0, include_self=False)
+        return F.transform(F.col(field), lambda x, i: pred(x, i))
+
+    def field_defaults(self) -> dict:
+        """Per-root-field ``default`` annotation (reference:
+        lib/jsi/base.rb:484-505 jsi_default_child / use_default): collect
+        the defaults every schema describing the child declares; a field
+        gets a default only if exactly ONE distinct value is declared
+        (multiple different defaults → none, the reference's nil rule).
+        The walk follows the unconditional in-place applicators
+        ($ref, allOf); instance-conditional branches (anyOf/oneOf/
+        if-then-else/dependentSchemas) never contribute — their
+        application is row-dependent, which the reference resolves
+        per-read and a static Column plan conservatively skips."""
+        from jsi_spark.compile.compiler import canon_key
+
+        found: dict = {}
+
+        def visit(node, seen):
+            if id(node) in seen or not isinstance(node.value, dict):
+                return
+            seen = seen | {id(node)}
+            kw = node.kw
+            for name, sub in kw.get("properties", {}).items():
+                if isinstance(sub.value, dict) and "default" in sub.value:
+                    raw = sub.value["default"]
+                    found.setdefault(name, {})[canon_key(raw)] = raw
+            if "ref" in kw:
+                visit(kw["ref"], seen)
+            for sub in kw.get("allOf", ()):
+                visit(sub, seen)
+
+        visit(self.compiled.root, frozenset())
+        return {name: next(iter(vals.values()))
+                for name, vals in found.items() if len(vals) == 1}
+
+    def with_defaults(self, df: DataFrame) -> DataFrame:
+        """Coalesce NULL (absent) root fields with their unique schema
+        ``default`` — the DataFrame lift of reading with use_default."""
+        defaults = self.field_defaults()
+        fields = {f.name: f.dataType for f in self.struct.fields}
+        cols = []
+        for f in df.columns:
+            if f in defaults and f in fields:
+                cols.append(F.coalesce(
+                    F.col(f),
+                    F.lit(defaults[f]).cast(fields[f])).alias(f))
+            else:
+                cols.append(F.col(f))
+        return df.select(*cols)
+
     def apply(self, df: DataFrame, valid_col: str = "valid",
               violations_col: str | None = None) -> DataFrame:
         out = df.withColumn(valid_col, self.valid_column())
