@@ -107,6 +107,8 @@ def main():
 
     headline = full_pass(spark, n_docs)
 
+    from jsi_spark.ops.dedup import release_caches
+
     per_query = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -115,6 +117,9 @@ def main():
             per_query[name] = round(time.time() - t0, 3)
         except Exception as ex:  # keep the bench line parseable
             per_query[name] = f"FAIL: {type(ex).__name__}"
+        # dedup ops persist tiny projections; free them between queries
+        # (callers own the cache lifecycle)
+        release_caches()
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -735,12 +735,15 @@ class TypedValidator:
                     lambda x, i: ~gate(i) | elem_pair(child_node, x, i)[0])
                 valid = F.when(ctx.col.isNull(), F.lit(True)).otherwise(valid)
                 if ctx.collect:
-                    per_elem = F.transform(
-                        ctx.col,
-                        lambda x, i: F.when(
-                            gate(i) & ~elem_pair(child_node, x, i)[0],
-                            elem_pair(child_node, x, i)[1])
-                        .otherwise(_empty_viols()))
+                    def _mk(cn, g):
+                        def _elem_viols(x, i):
+                            # build the (valid, viols) pair ONCE/element
+                            v, viols = elem_pair(cn, x, i)
+                            return F.when(g(i) & ~v, viols) \
+                                .otherwise(_empty_viols())
+                        return _elem_viols
+
+                    per_elem = F.transform(ctx.col, _mk(child_node, gate))
                     viols = F.when(ctx.col.isNull(), _empty_viols()) \
                         .otherwise(F.flatten(per_elem))
                 else:

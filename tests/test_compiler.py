@@ -101,3 +101,43 @@ def test_evaluated_annotation_sets():
     })
     res = cs.validate(["a", 1, True, 2])
     assert res.evaluated_items == {0, 1, 3}  # prefix + contains matches
+
+
+def test_remote_ref_graph_multi_hop():
+    """Remote schema graph analog of the official suite's remotes/
+    (suite_test.rb:30-63): a remote that itself refs another remote,
+    plus a ref to a FRAGMENT inside a remote document."""
+    reg = Registry()
+    reg.register({"$id": "http://localhost:1234/a.json",
+                  "$ref": "http://localhost:1234/b.json"},
+                 uri="http://localhost:1234/a.json")
+    reg.register({"$id": "http://localhost:1234/b.json",
+                  "$defs": {"leaf": {"type": "integer"}},
+                  "$ref": "#/$defs/leaf"},
+                 uri="http://localhost:1234/b.json")
+    cs = compile_schema({"$ref": "http://localhost:1234/a.json"},
+                        registry=reg)
+    assert cs.is_valid(3)
+    assert not cs.is_valid("x")
+    # fragment directly into the remote's $defs
+    cs2 = compile_schema(
+        {"$ref": "http://localhost:1234/b.json#/$defs/leaf"},
+        registry=reg)
+    assert cs2.is_valid(7)
+    assert not cs2.is_valid("x")
+
+
+def test_remote_ref_relative_resolution():
+    """Relative $ref inside a remote resolves against the remote's own
+    base URI, not the referrer's."""
+    reg = Registry()
+    reg.register({"$id": "http://localhost:1234/nested/outer.json",
+                  "$ref": "inner.json"},
+                 uri="http://localhost:1234/nested/outer.json")
+    reg.register({"$id": "http://localhost:1234/nested/inner.json",
+                  "type": "string"},
+                 uri="http://localhost:1234/nested/inner.json")
+    cs = compile_schema(
+        {"$ref": "http://localhost:1234/nested/outer.json"}, registry=reg)
+    assert cs.is_valid("ok")
+    assert not cs.is_valid(1)
