@@ -38,7 +38,7 @@ wd = {workdir!r}
 # in multi-minute bursts (single samples off by up to 3x); min is the
 # robust estimator of achievable throughput
 full_pass(spark, {n_docs}, workdir=wd)
-secs = min(full_pass(spark, {n_docs}, workdir=wd) for _ in range(4))
+secs = min(full_pass(spark, {n_docs}, workdir=wd) for _ in range(3))
 print("SCALING_RESULT " + json.dumps({{"cores": {cores}, "secs": secs}}))
 """
 
@@ -57,7 +57,14 @@ def run(cores: int, n_docs: int) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    # Corpus size: large enough that the ~20 s of per-pass DRIVER-side
+    # serial work (Catalyst analysis + codegen of the huge typed
+    # validator trees, job setup for 6 actions) is a small fraction of
+    # the parallel work. That serial cost is invariant in both corpus
+    # size and cluster size — on a real N→4N executor cluster the
+    # driver does not quadruple — so at a too-small corpus it reads as
+    # false scaling loss. 24M docs ≈ 9 min at N=4, sub-3 min at 4N.
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
     n = int(os.environ.get("SCALING_N", "4"))
     r_n = run(n, n_docs)
     r_4n = run(4 * n, n_docs)

@@ -30,8 +30,8 @@ from jsi_spark.exec.uniqueness import duplicate_keys
 from jsi_spark.exec.verdicts import partition_verdicts
 from jsi_spark.functions.udfs import valid_json_udf, violations_json_udf
 from jsi_spark.ops.dedup import (
-    exact_duplicates, minhash_near_duplicates, ngram_jaccard_pairs,
-    simhash_candidates,
+    duplicate_clusters, exact_duplicates, minhash_near_duplicates,
+    ngram_jaccard_pairs, simhash_candidates,
 )
 from jsi_spark.ops.multimodal import extract_features, synth_media
 from jsi_spark.ops.similarity import (
@@ -374,6 +374,14 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs: one cluster_id
+    per duplicate group (keep-one-per-cluster is the dedup decision)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return simhash_candidates(docs, id_col="doc_id", content_col="text") \
@@ -446,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_candidates": q_simhash_candidates,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,

@@ -234,6 +234,53 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out.filter(F.col("jaccard") >= threshold)
 
 
+# -- duplicate clusters (connected components) ---------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id): connected components over candidate pairs —
+    cluster_id = the smallest id in the component. Near-dup PAIRS are
+    the detector output; dedup decisions need CLUSTERS (keep one doc
+    per component), and over-cap LSH buckets are already clusters by
+    construction.
+
+    Min-label propagation: every iteration joins each node's current
+    label against its neighbors' and keeps the minimum, converging in
+    O(component diameter) rounds — near-dup components are
+    template-clusters with tiny diameters, so this is 2-4 shuffles in
+    practice, each carrying only (id, label) longs. localCheckpoint
+    truncates the growing lineage each round (at 100 TB the iteration
+    count, not data volume, is the plan-size risk). The classic
+    alternating large-star/small-star optimization drops in here if
+    diameters ever grow."""
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels.withColumnRenamed("id", "dst")
+                                   .withColumnRenamed("label", "nl"),
+                                   "dst")
+                        .groupBy("src").agg(F.min("nl").alias("nmin")))
+        new_labels = (labels.join(neighbor_min.withColumnRenamed(
+                                      "src", "id"), "id", "left")
+                      .select("id", F.least("label",
+                                            F.coalesce("nmin", "label"))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 # -- SimHash -------------------------------------------------------------------------
 
 def simhash64(text: Column, seed: int = 7) -> Column:

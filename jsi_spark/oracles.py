@@ -162,6 +162,28 @@ def simhash_rows(docs, chunks=4, max_bucket_size=200, seed=7,
     return rows
 
 
+def union_find_clusters(pairs) -> list:
+    """(id, cluster_id=min of component) — independent union-find over
+    the pair list, the oracle for the iterative min-label-propagation
+    connected components."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = {i for p in pairs for i in p}
+    return sorted((i, find(i)) for i in ids)
+
+
 # -- ANN (sign-LSH and IVF) ----------------------------------------------------
 
 def _topk_rows(cand_by_query, vecs, k=5):
@@ -299,10 +321,14 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
     # engine casts float→double before scoring; float() of a float32
     # parquet value is that exact cast
     emb = [(vid, [float(x) for x in v]) for vid, v in emb_raw]
+    mh = minhash_rows(docs)
     return {
         "minhash_near_dups": values_sql(
-            minhash_rows(docs), ["id_a", "id_b", "jaccard"],
+            mh, ["id_a", "id_b", "jaccard"],
             ["BIGINT", "BIGINT", "DOUBLE"]),
+        "dedup_clusters": values_sql(
+            union_find_clusters([(a, b) for a, b, _ in mh]),
+            ["id", "cluster_id"], ["BIGINT", "BIGINT"]),
         "simhash_candidates": values_sql(
             simhash_rows(docs), ["id_a", "id_b", "hamming"],
             ["BIGINT", "BIGINT", "INTEGER"]),

@@ -236,3 +236,34 @@ def test_release_caches(spark, documents):
     minhash_near_duplicates(sub, threshold=0.8).count()
     assert release_caches() >= 2
     assert release_caches() == 0
+
+
+def test_duplicate_clusters_union_find_oracle(spark):
+    from jsi_spark.ops.dedup import duplicate_clusters
+    from jsi_spark.oracles import union_find_clusters
+
+    # two chains + a triangle + an isolated pair; chain diameter > 1
+    # exercises multi-round propagation
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21), (5, 6), (6, 7), (7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted((r.id, r.cluster_id)
+                 for r in duplicate_clusters(df).collect())
+    assert got == union_find_clusters(edges)
+    # every component labeled by its minimum id
+    assert dict(got)[4] == 1 and dict(got)[12] == 10 and dict(got)[9] == 5
+
+
+def test_golden_dedup_clusters_matches(spark):
+    from conftest import SF_DIR
+    import duckdb
+
+    import __spark_entry__ as E
+    from jsi_spark.oracles import golden_oracle_sqls
+
+    df = E.queries()["dedup_clusters"](spark, SF_DIR)
+    got = sorted((r.id, r.cluster_id) for r in df.collect())
+    con = duckdb.connect()
+    rows = con.execute(golden_oracle_sqls(SF_DIR)["dedup_clusters"]) \
+        .fetchall()
+    assert got == sorted(rows)
