@@ -259,6 +259,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
              .union(pairs.select(F.col(id_b).alias("src"),
                                  F.col(id_a).alias("dst")))
              .distinct())
+    # materialize the edge list ONCE: every propagation round joins it,
+    # and without this each round would recompute the entire upstream
+    # candidate-pair pipeline (e.g. shingle→minhash→band) from scratch
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     for _ in range(max_iter):
