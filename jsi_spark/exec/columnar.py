@@ -295,21 +295,18 @@ class TypedValidator:
                                       "validation.keyword.type.not_match"))
 
         if "enum" in kw:
-            vals = [v for v in node.value["enum"]
-                    if _literal_matches(v, dt)]
             if isinstance(dt, (T.StringType, *_NUMERIC_TYPES, T.BooleanType)):
+                vals = [v for v in node.value["enum"]
+                        if _literal_matches(v, dt)]
                 ok = c.isin(vals) if vals else F.lit(False)
             else:
-                raise TypedCompileError(
-                    f"enum over {dt.simpleString()} needs the generic path")
+                ok = F.lit(False)
+                for v in node.value["enum"]:
+                    ok = ok | _deep_eq(c, dt, v)
             checks.append(self._check(ctx, True, ok, "enum",
                                       "validation.keyword.enum.none_equal"))
         if "const" in kw:
-            v = node.value["const"]
-            if not _literal_matches(v, dt):
-                ok = F.lit(False)
-            else:
-                ok = c == F.lit(v)
+            ok = _deep_eq(c, dt, node.value["const"])
             checks.append(self._check(ctx, True, ok, "const",
                                       "validation.keyword.const.not_equal"))
 
@@ -995,6 +992,56 @@ class TypedValidator:
             return out
 
         return combined
+
+
+def _deep_eq(col: Column, dt: T.DataType, v) -> Column:
+    """JSON deep equality of a typed column against a literal JSON
+    value (enum/const over composite types; reference canon semantics:
+    elements/enum.rb, const.rb — 1 == 1.0, key-order-insensitive).
+    Shape-incompatible literals are statically False. JSON ``null``
+    literals can never match: on the typed path SQL NULL models
+    ABSENT (documented deviation), so a null-valued member is
+    unobservable."""
+    if v is None:
+        return F.lit(False)
+    if isinstance(v, (bool, int, float, str)):
+        if not _literal_matches(v, dt):
+            return F.lit(False)
+        return F.coalesce(col == F.lit(v), F.lit(False))
+    if isinstance(v, list):
+        if not isinstance(dt, T.ArrayType):
+            return F.lit(False)
+        ok = F.coalesce(F.size(col) == len(v), F.lit(False))
+        for i, x in enumerate(v):
+            ok = ok & F.coalesce(
+                _deep_eq(F.element_at(col, i + 1), dt.elementType, x),
+                F.lit(False))
+        return ok
+    if isinstance(v, dict):
+        if isinstance(dt, T.MapType):
+            ok = F.coalesce(
+                F.array_sort(F.map_keys(col))
+                == F.array(*[F.lit(k) for k in sorted(v)]), F.lit(False))
+            for k, x in v.items():
+                ok = ok & F.coalesce(
+                    _deep_eq(F.element_at(col, F.lit(k)),
+                             dt.valueType, x), F.lit(False))
+            return ok
+        if not isinstance(dt, T.StructType):
+            return F.lit(False)
+        fields = {f.name: f.dataType for f in dt.fields}
+        if any(k not in fields for k in v):
+            return F.lit(False)
+        ok = F.lit(True)
+        for f in dt.fields:
+            g = col.getField(f.name)
+            if f.name in v:
+                ok = ok & F.coalesce(_deep_eq(g, f.dataType, v[f.name]),
+                                     F.lit(False))
+            else:
+                ok = ok & g.isNull()
+        return ok
+    return F.lit(False)
 
 
 def _literal_matches(v, dt: T.DataType) -> bool:
