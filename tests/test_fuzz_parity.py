@@ -36,7 +36,15 @@ ROWS = [
 
 
 def _leaf_schema(rng: random.Random) -> dict:
-    pick = rng.randrange(9)
+    pick = rng.randrange(11)
+    if pick == 9:
+        # composite deep-equality literals (typed _deep_eq path)
+        return {"const": rng.choice([[1, 2, 3], [], [5, 5],
+                                     {"a": 1, "b": "p"}, {"a": 9},
+                                     {"b": "r"}])}
+    if pick == 10:
+        return {"enum": [rng.choice([[1, 2, 3], [0], {"a": 2}]),
+                         "hello", 5]}
     if pick == 0:
         return {"type": rng.choice(["string", "integer", "number",
                                     "array", "object", "boolean"])}
@@ -93,7 +101,8 @@ def _node_schema(rng: random.Random, depth: int) -> dict:
 
 DRAFTS = ["https://json-schema.org/draft/2020-12/schema",
           "http://json-schema.org/draft-07/schema#",
-          "http://json-schema.org/draft-06/schema#"]
+          "http://json-schema.org/draft-06/schema#",
+          "http://json-schema.org/draft-04/schema#"]
 
 
 def _root_schema(rng: random.Random) -> dict:

@@ -113,3 +113,42 @@ def test_exact_dedup_shuffles_hash_not_text(spark, docs):
     plan = plan_of(exact_duplicates(flat, content_col="text"))
     assert "hashpartitioning(_h" in plan, plan
     assert "hashpartitioning(text" not in plan, plan
+
+
+def test_minhash_banded_projection_not_text_below_exchange(spark, docs):
+    """The LSH self-join must join on the tiny (id, band, bucket)
+    projection — the raw text column never partakes in an exchange."""
+    from jsi_spark.ops.dedup import lsh_candidate_pairs, release_caches
+
+    flat = docs.select("doc_id", F.concat(F.lit("text of doc "),
+                                          F.col("doc_id")).alias("text"))
+    try:
+        plan = plan_of(lsh_candidate_pairs(flat))
+        assert "hashpartitioning(text" not in plan, plan
+        assert "text" not in plan.split("Exchange", 1)[1].split("\n")[0], \
+            plan
+    finally:
+        release_caches()
+
+
+def test_ann_lsh_broadcasts_queries(spark):
+    """Sign-LSH candidate generation broadcasts the query buckets; the
+    corpus side is never broadcast or duplicated."""
+    from jsi_spark.ops.similarity import lsh_tables, lsh_topk, make_queries
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(8)])
+        .alias("embedding"))
+    tables = lsh_tables(dim=8, n_planes=4, n_tables=2)
+    plan = plan_of(lsh_topk(emb, make_queries(emb, [0, 1]), tables, k=3))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_duplicate_clusters_shuffles_labels_only(spark):
+    from jsi_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    plan = plan_of(duplicate_clusters(pairs, max_iter=2))
+    # the final labels plan must not carry anything besides id/label
+    assert "text" not in plan and "cluster_id" in plan
