@@ -353,6 +353,15 @@ class SchemaNode:
                 and isinstance(v.get("unevaluatedProperties"), (dict, bool))):
             kw["unevaluatedProperties"] = sub("unevaluatedProperties")
 
+        # registered custom keywords (plugin vocabulary surface,
+        # compile/plugins.py; reference lib/jsi/schema.rb:560-604)
+        from jsi_spark.compile import plugins
+
+        for name, ck in plugins.registered().items():
+            if name in v:
+                kw[f"custom:{name}"] = (name, v[name],
+                                        ck.compile_fn(v[name]))
+
     def _compile_base_uri(self):
         """Effective base URI at this node: walk from the resource root
         along the pointer, joining every ``$id`` (reference: elements/
@@ -539,6 +548,16 @@ class SchemaNode:
                         r.fail("validation.keyword.dependencies."
                                "dependent_required.missing_property_names",
                                "dependencies")
+
+        for key, entry in kw.items():
+            if key.startswith("custom:"):
+                name, _sval, check = entry
+                try:
+                    ok = bool(check(v))
+                except Exception:
+                    ok = False
+                if not ok:
+                    r.fail(f"validation.keyword.{name}.invalid", name)
 
     # -- in-place applicators (reference §2.2) --------------------------------
 

@@ -310,6 +310,22 @@ class TypedValidator:
             checks.append(self._check(ctx, True, ok, "const",
                                       "validation.keyword.const.not_equal"))
 
+        for key, entry in kw.items():
+            if key.startswith("custom:"):
+                from jsi_spark.compile import plugins
+
+                name, sval, _check = entry
+                ck = plugins.registered().get(name)
+                col_ok = (ck.typed_fn(sval, c, dt)
+                          if ck is not None and ck.typed_fn else None)
+                if col_ok is None:
+                    raise TypedCompileError(
+                        f"custom keyword {name!r} has no typed compiler "
+                        f"— use the generic path")
+                checks.append(self._check(
+                    ctx, True, col_ok, name,
+                    f"validation.keyword.{name}.invalid"))
+
         numeric = isinstance(dt, _NUMERIC_TYPES)
         if "multipleOf" in kw:
             q = kw["multipleOf"]

@@ -78,9 +78,37 @@ class SnapshotTable:
 
     # -- read -----------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        batches = self.committed_batches()
+    def read(self, spark: SparkSession,
+             as_of: str | None = None) -> DataFrame | None:
+        """Committed rows; ``as_of`` reads the table AS OF that
+        snapshot id (inclusive) — Iceberg time travel (`VERSION AS OF`)
+        over the manifest's snapshot log."""
+        batches = []
+        for s in self.manifest()["snapshots"]:
+            batches.extend(s["batches"])
+            if as_of is not None and s["snapshot_id"] == as_of:
+                break
+        else:
+            if as_of is not None:
+                raise KeyError(f"unknown snapshot {as_of!r}")
         if not batches:
             return None
         return spark.read.parquet(
             *[os.path.join(self.dir, b) for b in batches])
+
+    # -- maintenance -----------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete orphan batch dirs no snapshot references (the debris
+        of crashed stage_batch calls — Iceberg's remove_orphan_files).
+        Never touches committed data; returns removed batch names."""
+        import shutil
+
+        live = set(self.committed_batches())
+        removed = []
+        for entry in os.listdir(self.dir):
+            if entry.startswith("batch-") and entry not in live:
+                shutil.rmtree(os.path.join(self.dir, entry),
+                              ignore_errors=True)
+                removed.append(entry)
+        return removed

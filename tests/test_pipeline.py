@@ -243,3 +243,22 @@ def test_resume_with_different_chunking_no_duplicates(spark, docs, media,
     # lineage snapshot ids are never NULL (pre-existing commits get the
     # explicit placeholder)
     assert t["lineage"].filter(F.col("snapshot_id").isNull()).count() == 0
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """Iceberg-semantics subset: VERSION AS OF over the snapshot log,
+    and orphan-batch vacuum that never touches committed data."""
+    from jsi_spark.io.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "tt")
+    s1 = t.append(spark.range(3).selectExpr("id", "'a' AS tag"))
+    s2 = t.append(spark.range(2).selectExpr("id + 10 AS id", "'b' AS tag"))
+    orphan = t.stage_batch(spark.range(5))     # staged, never committed
+    assert t.read(spark).count() == 5
+    assert t.read(spark, as_of=s1).count() == 3
+    assert t.read(spark, as_of=s2).count() == 5
+    with pytest.raises(KeyError):
+        t.read(spark, as_of="snap-nope")
+    assert t.vacuum() == [orphan]
+    assert t.read(spark).count() == 5          # committed data intact
+    assert t.read(spark, as_of=s1).count() == 3
