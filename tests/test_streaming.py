@@ -1,0 +1,130 @@
+"""Streaming validation: micro-batch verdicts equal the batch plan,
+violation rows are append-safe, windowed verdicts respect watermarked
+event time, and the SnapshotTable sink is exactly-once per batch id."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsi_spark.compile.compiler import compile_schema
+from jsi_spark.datagen import gen_docs
+from jsi_spark.exec.columnar import typed_validator
+from jsi_spark.io.tableio import SnapshotTable
+from jsi_spark.plans.docs_schema import DOCS_JSON_SCHEMA, DOCS_SCHEMA
+from jsi_spark.streaming import (
+    validated_stream, violation_stream, windowed_verdicts,
+    write_snapshot_sink,
+)
+
+N = 800
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src") / "docs")
+    gen_docs(spark, N, n_media=50, seed=7).repartition(4) \
+        .write.parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def tv():
+    return typed_validator(compile_schema(DOCS_JSON_SCHEMA), DOCS_SCHEMA)
+
+
+def _run_available_now(writer, tmp):
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_verdicts_match_batch(spark, docs_dir, tv, tmp_path):
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+    out = SnapshotTable(str(tmp_path), "checked")
+    writer = write_snapshot_sink(validated_stream(stream, tv), out,
+                                 str(tmp_path / "ckpt"))
+    _run_available_now(writer, tmp_path)
+    got = out.read(spark)
+    batch = validated_stream(spark.read.parquet(docs_dir), tv)
+    assert got.count() == N
+    g = {(r.doc_id, r.valid) for r in got.select("doc_id", "valid")
+         .collect()}
+    b = {(r.doc_id, r.valid) for r in batch.select("doc_id", "valid")
+         .collect()}
+    assert g == b
+    # exactly-once: every snapshot carries a distinct stream batch id
+    ids = [s["meta"]["stream_batch_id"]
+           for s in out.manifest()["snapshots"]]
+    assert len(ids) == len(set(ids))
+
+
+def test_stream_violtill_rows_match_batch(spark, docs_dir, tv, tmp_path):
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+    checked = validated_stream(stream, tv)
+    out = SnapshotTable(str(tmp_path), "viols")
+    writer = write_snapshot_sink(violation_stream(checked, tv), out,
+                                 str(tmp_path / "ckpt_v"))
+    _run_available_now(writer, tmp_path)
+    got = out.read(spark)
+    bchecked = validated_stream(spark.read.parquet(docs_dir), tv)
+    want = violation_stream(bchecked, tv)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_windowed_verdicts_with_watermark(spark, docs_dir, tv,
+                                          tmp_path):
+    """Event-time windows close as the watermark passes them (append
+    mode emits only finalized windows). All source files are taken in
+    ONE micro-batch (single-batch watermark start = -inf, so nothing is
+    'late' within it); a far-future sentinel doc advances the watermark
+    past every 1-minute window so availableNow flushes them all."""
+    import shutil
+
+    src = str(tmp_path / "win_src")
+    shutil.copytree(docs_dir, src)
+    sentinel_dir = str(tmp_path / "sentinel")
+    gen_docs(spark, 1, n_media=5, seed=1).withColumn(
+        "doc_id", F.lit("doc-999999999")).write.parquet(sentinel_dir)
+    for f in os.listdir(sentinel_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sentinel_dir, f),
+                        os.path.join(src, "zz-" + f))
+    ts = F.when(F.col("doc_id") == "doc-999999999",
+                F.to_timestamp(F.lit("2026-01-01 01:00:00"))) \
+        .otherwise(F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                   + F.make_interval(
+                       secs=F.pmod(F.xxhash64("doc_id"),
+                                   F.lit(180)).cast("double")))
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1000).parquet(src)
+              .withColumn("ts", ts))
+    win = windowed_verdicts(stream, tv, "ts", window="1 minute",
+                            watermark="2 minutes")
+    q = (win.writeStream.outputMode("append").format("memory")
+         .queryName("winv").option("checkpointLocation",
+                                   str(tmp_path / "ckpt_w"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM winv").collect()
+    # 3 one-minute windows of real docs (sentinel's window stays open)
+    assert len(rows) == 3, rows
+    assert sum(r.docs for r in rows) == N
+    assert all(r.docs == r.passed + r.failed for r in rows)
+    assert any(r.failed > 0 for r in rows)
+
+
+def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
+    """Drive the real foreachBatch handler with a duplicate batch id —
+    the crash-between-sink-write-and-checkpoint-commit replay case."""
+    from jsi_spark.streaming import snapshot_batch_writer
+
+    t = SnapshotTable(str(tmp_path), "replay")
+    df = spark.range(5)
+    h = snapshot_batch_writer(t)
+    h(df, 0)
+    h(df, 0)          # replayed micro-batch: must not double-commit
+    h(df, 1)
+    assert t.read(spark).count() == 10
+    assert len(t.manifest()["snapshots"]) == 2
