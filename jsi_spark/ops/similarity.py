@@ -100,17 +100,55 @@ def lsh_bucket(vec: Column, planes: list) -> Column:
         + (dot(vec, F.element_at(mat, j)) >= 0).cast("long"))
 
 
+def lsh_buckets_arrow(tables: list):
+    """Arrow-batched bucketing: ONE numpy matmul per batch computes all
+    L×b plane dots (vs 4096 interpreted HOF multiply-adds per row on
+    the Column path) — the vectorized-pandas-UDF fast path for the
+    dense linear algebra Spark's HOFs evaluate interpretively. Returns
+    a pandas_udf: array<double> vec → array<long> of L bucket ids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(tables, dtype=np.float64)        # (L, b, dim)
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+    pows = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def _buckets(v):
+        mat = np.stack(v.to_numpy())                     # (n, dim)
+        bits = (mat @ flat.T >= 0.0).astype(np.int64)
+        ids = bits.reshape(len(v), n_tables, n_planes) @ pows
+        return pd.Series(list(ids))
+
+    # real class annotations (this module stringifies hints via
+    # `from __future__ import annotations`, which pandas_udf rejects)
+    _buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, "array<bigint>")
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
              k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             impl: str = "arrow") -> DataFrame:
     """Approximate top-k: candidates = union of the query's buckets
     over L LSH tables (``planes`` is either one table — list of plane
     vectors — or a list of tables from ``lsh_tables``). Candidate ids
     are deduped *before* vectors are joined back, so the corpus is
     never duplicated ×L through the explode; only (id, table, bucket)
-    longs shuffle. Same output shape as brute_force_topk."""
+    longs shuffle. Same output shape as brute_force_topk.
+
+    ``impl="arrow"`` (default) computes buckets with one numpy matmul
+    per Arrow batch; ``impl="column"`` keeps the pure-JVM Column fold
+    (bit-identical buckets up to GEMM-vs-sequential float summation —
+    signs flip only for |dot| at rounding scale)."""
     tables = [planes] if isinstance(planes[0][0], (int, float)) else planes
-    buckets = lambda v: F.array(*[lsh_bucket(v, t) for t in tables])  # noqa: E731
+    if impl == "arrow":
+        bucket_udf = lsh_buckets_arrow(tables)
+        buckets = lambda v: bucket_udf(v)                # noqa: E731
+    else:
+        buckets = lambda v: F.array(*[lsh_bucket(v, t)   # noqa: E731
+                                      for t in tables])
     eb = (emb.select(F.col(id_col).alias("vec_id"),
                      F.posexplode(buckets(F.col(vec_col)))
                      .alias("_tbl", "_bucket")))
@@ -136,9 +174,15 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
 
 # -- IVF ----------------------------------------------------------------------------
 
+def _assign(vec_col: str, centroids: list, impl: str) -> Column:
+    if impl == "arrow":
+        return nearest_centroid_arrow(centroids)(F.col(vec_col))
+    return _nearest_centroid(F.col(vec_col), centroids)
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> list:
+                  id_col: str = "vec_id", impl: str = "arrow") -> list:
     """Coarse quantizer: deterministic hash-sampled seeds + one Lloyd
     refinement step (all as DataFrame aggregations)."""
     seeds = (emb.withColumn("_h", F.pmod(F.xxhash64(id_col), 997))
@@ -146,8 +190,7 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
              .select(vec_col).collect())
     cents = [list(r[0]) for r in seeds]
     dim = len(cents[0])
-    assigned = emb.withColumn(
-        "_c", _nearest_centroid(F.col(vec_col), cents))
+    assigned = emb.withColumn("_c", _assign(vec_col, cents, impl))
     means = (assigned.groupBy("_c")
              .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}")
                     for i in range(dim)],
@@ -157,6 +200,26 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
     for r in means:
         refined[r["_c"]] = [r[f"m{i}"] for i in range(dim)]
     return refined
+
+
+def nearest_centroid_arrow(centroids: list):
+    """Arrow-batched cell assignment: one numpy matmul per batch scores
+    every centroid (argmax keeps the FIRST max, matching the Column
+    fold's strict-> update). Same rationale as lsh_buckets_arrow."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)       # (k, dim)
+
+    def _nearest(v):
+        mat = np.stack(v.to_numpy())
+        sims = (mat @ cmat.T) / np.linalg.norm(mat, axis=1,
+                                               keepdims=True)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    _nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_nearest, "int")
 
 
 def _nearest_centroid(vec: Column, centroids: list) -> Column:
@@ -179,11 +242,11 @@ def _nearest_centroid(vec: Column, centroids: list) -> Column:
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
              k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", impl: str = "arrow") -> DataFrame:
     """IVF search: score only vectors in the nprobe closest centroid
-    cells of each query."""
-    cells = emb.withColumn("_c", _nearest_centroid(F.col(vec_col),
-                                                   centroids))
+    cells of each query. ``impl="arrow"`` assigns cells with one numpy
+    matmul per batch; ``impl="column"`` keeps the pure-JVM fold."""
+    cells = emb.withColumn("_c", _assign(vec_col, centroids, impl))
     qrows = queries.collect()
     probe = []
     for q in qrows:

@@ -210,20 +210,23 @@ def ann_lsh_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5,
     vecs = dict(emb)
     tables = lsh_tables(dim=len(emb[0][1]), n_planes=n_planes,
                         n_tables=n_tables, seed=seed)
+    # engine bucketing is an Arrow-batched numpy matmul — use the
+    # identical operation (same BLAS, same dtype) here
+    planes = np.asarray(tables, dtype=np.float64)
+    flat = planes.reshape(n_tables * n_planes, -1)
+    pows = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    mat = np.asarray([v for _, v in emb], dtype=np.float64)
+    bits = (mat @ flat.T >= 0.0).astype(np.int64)
+    ids = bits.reshape(len(emb), n_tables, n_planes) @ pows   # (n, L)
 
-    def bucket(v, table):
-        acc = 0
-        for plane in table:
-            acc = acc * 2 + (1 if _dot(v, plane) >= 0.0 else 0)
-        return acc
-
+    row_of = {vec_id: i for i, (vec_id, _) in enumerate(emb)}
     cand = defaultdict(set)
-    for t_i, table in enumerate(tables):
+    for t_i in range(n_tables):
         by_bucket = defaultdict(list)
-        for vec_id, v in emb:
-            by_bucket[bucket(v, table)].append(vec_id)
+        for i, (vec_id, _) in enumerate(emb):
+            by_bucket[int(ids[i, t_i])].append(vec_id)
         for q in query_ids:
-            for vec_id in by_bucket.get(bucket(vecs[q], table), ()):
+            for vec_id in by_bucket.get(int(ids[row_of[q], t_i]), ()):
                 cand[q].add(vec_id)
     return _topk_rows(cand, vecs, k)
 
@@ -236,27 +239,27 @@ def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
                                        r[0]))
     cents = [list(v) for _, v in order[:n_centroids]]
 
-    def nearest(v, centroids):
-        nv = _norm(v)
-        best_i, best_s = 0, -1e30
-        for j, c in enumerate(centroids):
-            s = _dot(v, c) / nv
-            if s > best_s:
-                best_i, best_s = j, s
-        return best_i
+    # engine cell assignment is an Arrow-batched numpy matmul + argmax
+    # (first max wins) — use the identical operation here
+    mat = np.asarray([v for _, v in emb], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def assign_all(centroids):
+        sims = (mat @ np.asarray(centroids, dtype=np.float64).T) / norms
+        return np.argmax(sims, axis=1)
 
     # one Lloyd step: per-cluster component means (empty keeps seed)
     members = defaultdict(list)
-    for vec_id, v in emb:
-        members[nearest(v, cents)].append(v)
+    for (vec_id, v), c in zip(emb, assign_all(cents)):
+        members[int(c)].append(v)
     refined = list(cents)
     for c, vs in members.items():
         dim = len(vs[0])
         refined[c] = [sum(v[i] for v in vs) / len(vs) for i in range(dim)]
 
     cells = defaultdict(list)
-    for vec_id, v in emb:
-        cells[nearest(v, refined)].append(vec_id)
+    for (vec_id, v), c in zip(emb, assign_all(refined)):
+        cells[int(c)].append(vec_id)
 
     cand = defaultdict(set)
     for q in query_ids:
