@@ -105,21 +105,30 @@ def main():
     spark = get_spark("jsi-spark-bench")
     master = spark.sparkContext.master
 
-    headline = full_pass(spark, n_docs)
+    # shared host: single samples show multi-minute noise bursts of up
+    # to 3x (BENCH/BASELINE.md); warm up once, report min of 2
+    full_pass(spark, n_docs)
+    headline = min(full_pass(spark, n_docs) for _ in range(2))
 
     from jsi_spark.ops.dedup import release_caches
 
     per_query = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        try:
-            _force(fn(spark, sf_dir))
-            per_query[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # keep the bench line parseable
-            per_query[name] = f"FAIL: {type(ex).__name__}"
-        # dedup ops persist tiny projections; free them between queries
-        # (callers own the cache lifecycle)
-        release_caches()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                _force(fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as ex:  # keep the bench line parseable
+                best = f"FAIL: {type(ex).__name__}"
+                break
+            finally:
+                # dedup ops persist tiny projections; free them between
+                # runs (callers own the cache lifecycle)
+                release_caches()
+        per_query[name] = round(best, 3) if isinstance(best, float) else best
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
