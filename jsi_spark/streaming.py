@@ -72,6 +72,19 @@ def windowed_verdicts(docs: DataFrame, validator: TypedValidator,
                  F.sum((~F.col("valid")).cast("long")).alias("failed")))
 
 
+def dedup_stream(docs: DataFrame, event_time_col: str,
+                 key_cols: tuple = ("doc_id",),
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that arrive within ``watermark`` of each other
+    (``dropDuplicatesWithinWatermark`` — state for a key is evicted
+    once the watermark passes it, so state stays bounded no matter how
+    long the stream runs; an unbounded ``dropDuplicates`` would OOM at
+    10^12-doc ingest)."""
+    return (docs.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def snapshot_batch_writer(table: SnapshotTable):
     """foreachBatch handler committing each micro-batch to ``table``
     with the batch id in snapshot meta — a replayed batch id (restart

@@ -128,3 +128,30 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
     h(df, 1)
     assert t.read(spark).count() == 10
     assert len(t.manifest()["snapshots"]) == 2
+
+
+def test_dedup_stream_drops_redeliveries(spark, tv, tmp_path):
+    """Duplicate doc_ids delivered across micro-batches within the
+    watermark are dropped; state is watermark-bounded."""
+    from jsi_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    base = gen_docs(spark, 100, n_media=10, seed=3).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    base.coalesce(1).write.mode("append").parquet(src)
+    # re-deliver half the docs (same ids) — a second file, later batch
+    base.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    schema = base.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = SnapshotTable(str(tmp_path), "deduped")
+    writer = write_snapshot_sink(
+        dedup_stream(stream, "ts", watermark="10 minutes"), out,
+        str(tmp_path / "ckpt_d"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = out.read(spark)
+    assert got.count() == 100
+    assert got.select("doc_id").distinct().count() == 100
