@@ -91,21 +91,31 @@ class TypedValidator:
         self.compiled = compiled
         self.struct = struct
         self.max_ref_depth = max_ref_depth
+        self._valid_col: Column | None = None
+        self._viols_col: Column | None = None
 
     # -- public API -----------------------------------------------------------
 
     def valid_column(self) -> Column:
-        """Boolean verdict column (pass 1 — runs over all rows)."""
-        ctx = self._root_ctx(collect=False)
-        valid, _ = self._node(self.compiled.root, ctx, depth=0)
-        return valid
+        """Boolean verdict column (pass 1 — runs over all rows).
+        Memoized: the tree is large (seconds of driver-side build for a
+        real schema) and Columns are immutable unresolved expressions,
+        reusable across any DataFrame with this struct."""
+        if self._valid_col is None:
+            ctx = self._root_ctx(collect=False)
+            self._valid_col, _ = self._node(self.compiled.root, ctx,
+                                            depth=0)
+        return self._valid_col
 
     def violations_column(self) -> Column:
         """array<struct<keyword,ptr,span_index,message_key>> column
-        (pass 2 — run after ``filter(~valid)``)."""
-        ctx = self._root_ctx(collect=True)
-        _, viols = self._node(self.compiled.root, ctx, depth=0)
-        return viols
+        (pass 2 — run after ``filter(~valid)``). Memoized like
+        :meth:`valid_column`."""
+        if self._viols_col is None:
+            ctx = self._root_ctx(collect=True)
+            _, self._viols_col = self._node(self.compiled.root, ctx,
+                                            depth=0)
+        return self._viols_col
 
     def evaluated_props_columns(self) -> dict:
         """Root-level evaluated-property masks: field name → boolean
