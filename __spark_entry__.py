@@ -150,6 +150,18 @@ PROPS_JSON_SCHEMA = {
     "properties": {"k": {"type": "integer", "minimum": 5, "maximum": 95}},
 }
 
+#: ``default`` annotations reach fields through the unconditional
+#: in-place applicators ($ref / allOf), exactly as the reference's
+#: use_default read path collects them (lib/jsi/base.rb:484-505)
+DEFAULTS_JSON_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$defs": {"base": {
+        "properties": {"lang": {"type": "string", "default": "und"}}}},
+    "allOf": [{"$ref": "#/$defs/base"}],
+    "properties": {"source": {"type": "string", "default": "unknown"}},
+}
+
+
 #: draft-04 dialect: boolean exclusiveMaximum modifies maximum
 #: (reference: lib/jsi/schema/elements/numeric_draft04.rb:5-38)
 LINEITEM_D4_SCHEMA = {
@@ -299,6 +311,24 @@ def q_events_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v.message_key").alias("message_key")))
 
 
+def q_docs_with_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`default` read path (reference: use_default, lib/jsi/base.rb:
+    484-505): absent (NULL) fields coalesce with the unique default the
+    schema set declares for them — here `lang` through allOf→$ref and
+    `source` directly. Residues doc_id%7==2 / %11==4 blank the fields."""
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sparse = d.select(
+        "doc_id",
+        F.when(i % 7 == 2, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(i % 11 == 4, F.lit(None).cast("string"))
+        .otherwise(F.col("source")).alias("source"))
+    tv = typed_validator(compile_schema(DEFAULTS_JSON_SCHEMA),
+                         sparse.schema)
+    return tv.with_defaults(sparse)
+
+
 def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     return column_stats(
@@ -443,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_valid": q_events_json_valid,
         "events_json_violations": q_events_json_violations,
         "lineitem_draft04_valid": q_lineitem_draft04_valid,
+        "docs_with_defaults": q_docs_with_defaults,
         "column_stats_lineitem": q_column_stats_lineitem,
         "duplicate_user_ids": q_duplicate_user_ids,
         "referential_dangling": q_referential_dangling,
@@ -733,6 +764,13 @@ def oracle_sql() -> dict[str, str]:
               AND (l_returnflag IS NULL
                    OR l_returnflag IN ('A', 'N', 'R'))
             ) AS valid FROM lineitem""",
+        "docs_with_defaults": """
+            SELECT doc_id,
+                   COALESCE(CASE WHEN doc_id % 7 = 2 THEN NULL
+                                 ELSE lang END, 'und') AS lang,
+                   COALESCE(CASE WHEN doc_id % 11 = 4 THEN NULL
+                                 ELSE source END, 'unknown') AS source
+            FROM documents""",
         "column_stats_lineitem": stats_sql,
         "duplicate_user_ids": """
             SELECT user_id, COUNT(*) AS dup_count

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jsi_spark.session import ensure_py_files
+
 # Persisted intermediates registered here so long-running sessions (the
 # resumable CLI pipeline, the bench harness) can free them after the
 # consuming action; persist() entries in Spark's CacheManager are keyed
@@ -96,24 +98,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_perm: int = 64,
                       seed: int = 1337) -> Column:
-    """num_perm-wide signature: sig[j] = min over shingles of a per-
-    permutation hash. Structured as ONE fold over the shingle array —
-    the expensive `shingles` expression is the aggregate's traversal
-    argument, so it evaluates once per row (a transform-per-permutation
-    would re-evaluate it num_perm times). Each shingle is string-hashed
-    once; permutations re-hash the resulting long (cheap)."""
+    """num_perm-wide signature: sig[j] = min over shingles of the
+    permutation hash ``xxhash64(xxhash64(s, seed), j)``.
+
+    Structured as ONE fold over the PRE-HASHED shingle array: the
+    string hashes are a separate transform evaluated once per shingle,
+    and the fold's per-permutation work re-hashes only the resulting
+    long. (Folding over the raw shingles with the string hash inside
+    the per-j lambda computes num_perm string hashes per shingle —
+    interpreted HOF lambdas get no common-subexpression elimination
+    across iterations; measured ~2x on this stage.) The expensive
+    `shingles` expression is the transform's traversal argument, so it
+    too evaluates once per row."""
     idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm)
+    hashes = F.transform(shingles,
+                         lambda s: F.xxhash64(s, F.lit(seed)))
     return F.aggregate(
-        shingles, init,
-        lambda acc, s: F.zip_with(
+        hashes, init,
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(idx,
-                        lambda j: F.xxhash64(F.xxhash64(s, F.lit(seed)),
-                                             j)),
+            F.transform(idx, lambda j: F.xxhash64(h, j)),
             lambda a, b: F.least(a, b)))
 
 
+# NOTE on impl choice (measured at sf0.1, 1M docs): an Arrow-batched
+# numpy variant of the permutation fold (vectorized bit-exact XXH64 over
+# the (Σ shingles, num_perm) matrix) ran 5x SLOWER than this JVM fold —
+# the fmix chain is ~10 memory-bound elementwise passes with temporaries,
+# where whole-row interpreted-HOF JVM evaluation stays register-resident.
+# Arrow wins only when the per-batch math is BLAS-shaped (see
+# similarity.lsh_buckets_arrow) or trivially wide bit ops (see
+# simhash_from_hashes_arrow); keep minhash JVM-side.
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         content_col: str = "text", num_perm: int = 64,
                         bands: int = 16, shingle_n: int = 3,
@@ -317,9 +333,52 @@ def simhash64(text: Column, seed: int = 7) -> Column:
         .bitwiseOR((c * 2 > n).cast("long")))
 
 
+def simhash_from_hashes_arrow():
+    """Arrow-batched SimHash finalizer: pandas_udf mapping the per-row
+    array<long> of token hashes → int64 fingerprint. One numpy pass per
+    batch unpacks every hash's 64 bits, segment-sums them with reduceat,
+    and packs the majority votes — replacing tokens × 64 interpreted HOF
+    add steps per row (same trade as :func:`minhash_signature_arrow`).
+    Bit order matches :func:`simhash64`: output bit k = majority of
+    input-hash bit k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)      # MSB-first
+
+    def _sh(col):
+        lens = np.fromiter(
+            ((0 if v is None else len(v)) for v in col),
+            dtype=np.int64, count=len(col))
+        total = int(lens.sum())
+        packed = np.zeros(len(col), dtype=np.int64)
+        if total:
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64)
+                 for v in col if v is not None and len(v)]
+            ).astype(np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int64)     # (total, 64)
+            nz = np.flatnonzero(lens)
+            offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            counts = np.add.reduceat(bits, offs, axis=0)  # (|nz|, 64)
+            maj = (counts * 2 > lens[nz, None]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                packed[nz] = (maj << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64).astype(np.int64)
+        return pd.Series(
+            [None if v is None else packed[i]
+             for i, v in enumerate(col)])
+
+    _sh.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_sh, "bigint")
+
+
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        content_col: str = "text", chunks: int = 4,
-                       max_bucket_size: int | None = 200) -> DataFrame:
+                       max_bucket_size: int | None = 200,
+                       impl: str = "arrow") -> DataFrame:
     """Near-dup candidates sharing ≥1 of 4 16-bit SimHash chunks,
     with exact Hamming distance attached.
 
@@ -329,8 +388,16 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     B²/2 pairs. Docs in over-cap buckets are near-duplicates *as a
     group* by construction — handle them as clusters, not pairs."""
     width = 64 // chunks
-    h = df.select(F.col(id_col).alias("_id"),
-                  simhash64(F.col(content_col)).alias("_h"))
+    if impl == "arrow":
+        ensure_py_files(df.sparkSession)
+        toks = F.array_distinct(
+            F.split(F.lower(F.col(content_col)), r"\s+"))
+        hashes = F.transform(toks,
+                             lambda t: F.xxhash64(t, F.lit(7)))
+        h_col = simhash_from_hashes_arrow()(hashes)
+    else:
+        h_col = simhash64(F.col(content_col))
+    h = df.select(F.col(id_col).alias("_id"), h_col.alias("_h"))
     banded = h.select("_id", "_h", F.explode(F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),

@@ -18,7 +18,8 @@ PARITY = ["docs_valid", "docs_violations", "docs_verdicts",
           "referential_dangling", "psi_value_drift",
           "token_counts", "lang_id", "quality_scores", "fingerprints",
           "dedup_exact", "ann_bruteforce", "events_json_violations",
-          "lineitem_draft04_valid", "docs_contains", "span_equality"]
+          "lineitem_draft04_valid", "docs_contains", "span_equality",
+          "docs_with_defaults"]
 
 
 @pytest.fixture(scope="module")

@@ -103,6 +103,17 @@ def test_simhash_near_dups(spark, documents):
     assert ident <= zero
 
 
+def test_simhash_arrow_column_parity(spark, documents):
+    """The Arrow-batched majority vote (default) and the pure-Column
+    fold are bit-identical fingerprints → identical candidate sets."""
+    sub = documents.filter(F.col("doc_id") < 500)
+    arrow = simhash_candidates(sub, impl="arrow").collect()
+    column = simhash_candidates(sub, impl="column").collect()
+    key = lambda r: (r.id_a, r.id_b, r.hamming)  # noqa: E731
+    assert sorted(map(key, arrow)) == sorted(map(key, column))
+    assert len(arrow) > 0
+
+
 def test_brute_force_topk_matches_numpy(spark, embeddings):
     import numpy as np
 
