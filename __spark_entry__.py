@@ -38,7 +38,8 @@ from jsi_spark.ops.similarity import (
     brute_force_topk, ivf_centroids, ivf_topk, lsh_tables, lsh_topk,
     make_queries,
 )
-from jsi_spark.ops.text import text_profile
+from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
+from jsi_spark.ops.text import repetition_features, text_profile
 from jsi_spark.plans.docs_schema import DOCS_JSON_SCHEMA, DOCS_SCHEMA
 from jsi_spark.session import ensure_py_files
 
@@ -382,6 +383,39 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(docs).select("doc_id", "fingerprint")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals (arXiv:2112.11446
+    A1.1): duplicate-line fraction, duplicate-line char fraction, and
+    top word-2gram char coverage — pure map-side Column folds."""
+    docs = _read(spark, sf_dir, "documents")
+    f = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f.getField("dup_line_frac").alias("dup_line_frac"),
+        f.getField("dup_line_char_frac").alias("dup_line_char_frac"),
+        f.getField("top_bigram_char_frac").alias("top_bigram_char_frac"))
+
+
+SOURCE_CAP = 50
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep the SOURCE_CAP docs with the
+    smallest (md5(doc_id), doc_id) per source — deterministic,
+    engine-portable, skew-safe (two-phase rate prefilter + exactness
+    rescue; the window never carries the text payload)."""
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_cap(docs, stratum_col="source", id_col="doc_id",
+                          cap=SOURCE_CAP).select("doc_id", "source")
+
+
+def q_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota audit table emitted alongside the capped sample."""
+    docs = _read(spark, sf_dir, "documents")
+    return stratum_budget_report(docs, stratum_col="source",
+                                 cap=SOURCE_CAP)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # dedup on leading-boilerplate prefix (first 5 tokens)
@@ -482,6 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
+        "gopher_repetition": q_gopher_repetition,
+        "source_cap": q_source_cap,
+        "source_budget": q_source_budget,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
@@ -798,6 +835,61 @@ def oracle_sql() -> dict[str, str]:
             FROM h""",
         "quality_scores": quality_sql,
         "fingerprints": fingerprint_sql,
+        "gopher_repetition": f"""
+            WITH lines AS (
+              SELECT doc_id, ln
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10)))
+                           AS ln
+                    FROM documents)
+              WHERE length(trim(ln)) > 0),
+            per_line AS (
+              SELECT doc_id, ln, COUNT(*) AS c
+              FROM lines GROUP BY doc_id, ln),
+            lstats AS (
+              SELECT doc_id,
+                     SUM(c) AS n_lines,
+                     COUNT(*) AS n_distinct,
+                     SUM(length(ln) * c) AS line_chars,
+                     SUM(length(ln) * (c - 1)) AS extra
+              FROM per_line GROUP BY doc_id),
+            toks AS (SELECT doc_id, {tok} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(
+                list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM toks),
+            gcount AS (
+              SELECT doc_id, g, COUNT(*) AS c
+              FROM grams GROUP BY doc_id, g),
+            gtop AS (
+              SELECT doc_id, MAX(c * length(g)) AS cover
+              FROM gcount GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE((s.n_lines - s.n_distinct) * 1.0
+                                  / GREATEST(s.n_lines, 1), 0.0), 6)
+                     AS dup_line_frac,
+                   ROUND(COALESCE(s.extra * 1.0
+                                  / GREATEST(s.line_chars, 1), 0.0), 6)
+                     AS dup_line_char_frac,
+                   ROUND(COALESCE(g.cover, 0) * 1.0
+                         / GREATEST(length(d.text), 1), 6)
+                     AS top_bigram_char_frac
+            FROM documents d
+            LEFT JOIN lstats s ON s.doc_id = d.doc_id
+            LEFT JOIN gtop g ON g.doc_id = d.doc_id""",
+        "source_cap": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+              FROM documents) WHERE rn <= {SOURCE_CAP}""",
+        "source_budget": f"""
+            SELECT source AS stratum, COUNT(*) AS n_docs,
+                   LEAST(COUNT(*), {SOURCE_CAP}) AS n_kept,
+                   (COUNT(*) > {SOURCE_CAP}) AS capped
+            FROM documents GROUP BY source""",
         "dedup_exact": """
             WITH c AS (SELECT doc_id,
                               array_to_string(

@@ -118,6 +118,96 @@ def fingerprint(text: Column, mod: int = 2_147_483_647) -> Column:
         lambda acc, h: F.pmod(acc * 31 + h, F.lit(mod)))
 
 
+# -- repetition / boilerplate signals (Gopher-style) ---------------------------
+#
+# The repetition filters from Rae et al. 2021 ("Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1,
+# public arXiv:2112.11446) — the standard web-pipeline boilerplate
+# detectors. Each is a pure Column expression over ONE row (zero
+# shuffle); the per-row cost is O(L log L) via array_sort + single-pass
+# folds, NOT the naive O(L²) count-each-distinct-in-place form (Spark
+# re-evaluates lambda-captured expressions per element, so nesting a
+# filter over the line array inside a per-distinct-line lambda would
+# re-split the text L times per row).
+
+def nonempty_lines(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"),
+                    lambda ln: F.length(F.trim(ln)) > 0)
+
+
+def _dup_extra_chars(sorted_lines: Column) -> Column:
+    """Chars in repeated line occurrences beyond each first occurrence:
+    single fold over the sorted array tracking the previous element."""
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("extra"))
+    step = lambda acc, ln: F.struct(
+        ln.alias("prev"),
+        (acc["extra"] + F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == ln),
+            F.length(ln)).otherwise(F.lit(0))).alias("extra"))
+    return F.aggregate(sorted_lines, init, step, lambda acc: acc["extra"])
+
+
+def _top_run_cover(sorted_grams: Column) -> Column:
+    """max over distinct values of (occurrence count × value length) —
+    the char mass of the most repeated gram — in one fold over the
+    sorted array (equal values are adjacent, so a run counter
+    suffices)."""
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    step = lambda acc, g: F.struct(
+        g.alias("prev"),
+        F.when(acc["prev"].isNotNull() & (acc["prev"] == g),
+               acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            (F.when(acc["prev"].isNotNull() & (acc["prev"] == g),
+                    acc["run"] + 1).otherwise(F.lit(1)))
+            * F.length(g)).alias("best"))
+    return F.aggregate(sorted_grams, init, step, lambda acc: acc["best"])
+
+
+def word_bigrams(text: Column) -> Column:
+    """All word 2-grams (order-sensitive, with repeats)."""
+    toks = tokens(text)
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.zip_with(toks, shifted,
+                       lambda g, t: F.concat_ws(" ", g, t))
+    return F.slice(grams, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+
+
+def repetition_features(text: Column) -> Column:
+    """struct(dup_line_frac, dup_line_char_frac, top_bigram_char_frac):
+
+    - dup_line_frac: fraction of non-empty lines that are repeats of an
+      earlier identical line,
+    - dup_line_char_frac: fraction of line characters inside those
+      repeated occurrences,
+    - top_bigram_char_frac: char mass of the most frequent word 2-gram
+      (count × gram length) over total text length.
+
+    Documents over the Gopher thresholds (e.g. dup_line_frac > 0.30)
+    are boilerplate/template suspects. All ratios round(6) so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    ls = nonempty_lines(text)
+    n_lines = F.size(ls)
+    n_distinct = F.size(F.array_distinct(ls))
+    line_chars = F.aggregate(
+        F.transform(ls, lambda ln: F.length(ln)),
+        F.lit(0), lambda a, c: a + c)
+    extra_chars = _dup_extra_chars(F.array_sort(ls))
+    top_cover = _top_run_cover(F.array_sort(word_bigrams(text)))
+    return F.struct(
+        F.round((n_lines - n_distinct)
+                / F.greatest(n_lines, F.lit(1)), 6)
+        .alias("dup_line_frac"),
+        F.round(extra_chars / F.greatest(line_chars, F.lit(1)), 6)
+        .alias("dup_line_char_frac"),
+        F.round(top_cover / F.greatest(F.length(text), F.lit(1)), 6)
+        .alias("top_bigram_char_frac"))
+
+
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """One row per doc: all text-analysis outputs (the pipeline's

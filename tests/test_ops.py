@@ -278,3 +278,96 @@ def test_golden_dedup_clusters_matches(spark):
     rows = con.execute(golden_oracle_sqls(SF_DIR)["dedup_clusters"]) \
         .fetchall()
     assert got == sorted(rows)
+
+
+def test_repetition_features_oracle(spark):
+    from jsi_spark.ops.text import repetition_features
+
+    rows = [
+        (1, "a b\na b\nc d\n\na b"),          # 'a b' x3 of 4 lines
+        (2, "unique one\nunique two"),
+        (3, "spam spam spam spam spam"),       # hot bigram 'spam spam'
+        (4, ""),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.f.asDict()
+           for r in df.select("doc_id",
+                              repetition_features(F.col("text"))
+                              .alias("f")).collect()}
+
+    def oracle(text):
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n = len(lines)
+        extra = 0
+        seen = {}
+        for ln in lines:
+            seen[ln] = seen.get(ln, 0) + 1
+        extra = sum((c - 1) * len(ln) for ln, c in seen.items())
+        line_chars = sum(len(ln) for ln in lines)
+        # match Spark tokens(): split(lower(trim(text)), \s+)
+        toks = text.strip().lower().split() if text.strip() else [""]
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        cover = 0
+        for g in set(grams):
+            cover = max(cover, grams.count(g) * len(g))
+        return {
+            "dup_line_frac": round((n - len(seen)) / max(n, 1), 6),
+            "dup_line_char_frac": round(extra / max(line_chars, 1), 6),
+            "top_bigram_char_frac": round(cover / max(len(text), 1), 6),
+        }
+
+    for doc_id, text in rows:
+        exp = oracle(text)
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-9), \
+                (doc_id, k, got[doc_id], exp)
+    assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[3]["top_bigram_char_frac"] > 0.3
+
+
+def test_stratified_cap_exact_and_skew_path(spark, documents):
+    import hashlib
+
+    from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
+
+    cap = 7
+    out = stratified_cap(documents, cap=cap, margin=1.2)
+    plain = stratified_cap(documents, cap=cap, prefilter=False)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert got == sorted(r.doc_id for r in plain.select("doc_id").collect())
+
+    # pandas oracle: smallest (md5(id), id) per source
+    pdf = documents.select("doc_id", "source").toPandas()
+    pdf["r"] = pdf.doc_id.map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    exp = (pdf.sort_values(["r", "doc_id"]).groupby("source").head(cap))
+    assert got == sorted(exp.doc_id)
+
+    # all original columns preserved
+    assert out.columns == documents.columns
+
+    rep = {r.stratum: (r.n_docs, r.n_kept, r.capped)
+           for r in stratum_budget_report(documents, cap=cap).collect()}
+    by_src = pdf.groupby("source").size()
+    for s, n in by_src.items():
+        assert rep[s] == (n, min(n, cap), n > cap)
+
+
+def test_stratified_cap_projected_window_plan(spark, documents):
+    """The rank shuffle must not carry the document payload: no `text`
+    reference below the window's Exchange."""
+    from jsi_spark.ops.sampling import stratified_cap
+
+    plan = stratified_cap(documents, cap=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "_rn" in plan
+    # every Exchange/Sort feeding the window partitions on _s — none
+    # may reference the payload column
+    saw_window_exchange = False
+    for line in plan.splitlines():
+        if "hashpartitioning(_s" in line or ("Sort" in line
+                                             and "_r" in line):
+            saw_window_exchange = True
+            assert "text" not in line, line
+    assert saw_window_exchange
