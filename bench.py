@@ -85,7 +85,12 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     # (doc_id, n_spans) projection: persist it once (production pattern —
     # at 100 TB this is the ~2% column subset, cached or written hot)
     # instead of re-decoding the wide spans column three times
-    flat = docs.select("doc_id", F.size("spans").alias("n_spans")).persist()
+    # MEMORY_ONLY: the disk-fallback flag of the default level makes the
+    # cache-write job an order of magnitude slower on this host (see
+    # ops/dedup._persist); the projection is 16 B/doc and recompute-safe
+    from pyspark.storagelevel import StorageLevel
+    flat = (docs.select("doc_id", F.size("spans").alias("n_spans"))
+            .persist(StorageLevel.MEMORY_ONLY))
     try:
         _force(uniqueness_violations(flat, "doc_id", 64))
         _force(column_stats(flat, ["doc_id", "n_spans"]))

@@ -30,7 +30,15 @@ _CACHED: list[DataFrame] = []
 
 
 def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
+    # MEMORY_ONLY, not the MEMORY_AND_DISK default: these intermediates
+    # are tiny key projections (a few longs per doc), and Spark's
+    # semantics under memory pressure are safe either way (partitions
+    # that don't fit are recomputed, not failed). Empirically the disk-
+    # fallback flag alone makes the cache-write job ~14x slower on this
+    # host (9.3s vs 0.66s for the same 20k-row frame), dominating every
+    # dedup query at bench scale.
+    from pyspark.storagelevel import StorageLevel
+    df = df.persist(StorageLevel.MEMORY_ONLY)
     _CACHED.append(df)
     return df
 
