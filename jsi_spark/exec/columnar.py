@@ -341,11 +341,23 @@ class TypedValidator:
             q = kw["multipleOf"]
             if isinstance(dt, _INTEGRAL_TYPES) and isinstance(q, int):
                 ok = c % F.lit(q) == 0
+            elif not 0 < abs(q) < 1e26:
+                # divisor itself exceeds Decimal(38,12): double fmod
+                ok = F.pmod(c.cast("double"), F.lit(float(q))) == 0
             else:
                 # exact decimal arithmetic (BigDecimal analog,
-                # reference numeric.rb:17-22)
+                # reference numeric.rb:17-22). Values outside the
+                # Decimal(38,12) range would make the cast raise under
+                # ANSI mode; the official suite's float-overflow case
+                # (multipleOf 0.123456789 vs 1e308) requires invalid,
+                # not a crash — CaseWhen branches evaluate lazily
+                # per-row, so the cast never runs for out-of-range rows
                 dec = T.DecimalType(38, 12)
-                ok = F.pmod(c.cast(dec), F.lit(q).cast(dec)) == 0
+                bound = F.lit(1e25)
+                ok = F.when(
+                    (c >= -bound) & (c <= bound),
+                    F.pmod(c.cast(dec), F.lit(q).cast(dec)) == 0
+                ).otherwise(F.lit(False))
             checks.append(self._check(
                 ctx, numeric, ok, "multipleOf",
                 "validation.keyword.multipleOf.not_multiple"))
