@@ -46,11 +46,27 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 
 def lang_scores(text: Column) -> Column:
-    """struct of per-language stopword-hit ratios."""
-    n = whitespace_token_count(text)
+    """struct of per-language stopword-hit ratios.
+
+    ONE tokenization and ONE fold for all languages (the per-language
+    `stopword_hits` form tokenizes the text once per language AND once
+    more for the denominator — five splits per row, and a 5x larger
+    expression tree for Catalyst to analyze and codegen)."""
+    langs = list(STOPWORDS)
+    toks_arr = tokens(text)
+    sws = [F.array(*[F.lit(w) for w in STOPWORDS[lg]]) for lg in langs]
+    hits = F.aggregate(
+        toks_arr,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(sw, t).cast("int") for sw in sws]),
+            lambda a, b: a + b))
+    n = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(toks_arr))
     return F.struct(*[
-        (stopword_hits(text, lang) / F.greatest(n, F.lit(1)))
-        .alias(lang) for lang in STOPWORDS])
+        (F.element_at(hits, i + 1) / F.greatest(n, F.lit(1))).alias(lg)
+        for i, lg in enumerate(langs)])
 
 
 def predict_lang(text: Column) -> Column:
