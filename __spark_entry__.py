@@ -865,15 +865,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, MAX(c * length(g)) AS cover
               FROM gcount GROUP BY doc_id)
             SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL ELSE
                    ROUND(COALESCE((s.n_lines - s.n_distinct) * 1.0
                                   / GREATEST(s.n_lines, 1), 0.0), 6)
-                     AS dup_line_frac,
+                   END AS dup_line_frac,
+                   CASE WHEN d.text IS NULL THEN NULL ELSE
                    ROUND(COALESCE(s.extra * 1.0
                                   / GREATEST(s.line_chars, 1), 0.0), 6)
-                     AS dup_line_char_frac,
+                   END AS dup_line_char_frac,
+                   CASE WHEN d.text IS NULL THEN NULL ELSE
                    ROUND(COALESCE(g.cover, 0) * 1.0
                          / GREATEST(length(d.text), 1), 6)
-                     AS top_bigram_char_frac
+                   END AS top_bigram_char_frac
             FROM documents d
             LEFT JOIN lstats s ON s.doc_id = d.doc_id
             LEFT JOIN gtop g ON g.doc_id = d.doc_id""",

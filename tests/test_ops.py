@@ -371,3 +371,78 @@ def test_stratified_cap_projected_window_plan(spark, documents):
             saw_window_exchange = True
             assert "text" not in line, line
     assert saw_window_exchange
+
+
+def test_repetition_features_property_based(spark):
+    """Hypothesis-style sweep without per-example Spark jobs: generate
+    a batch of adversarial random texts, run ONE DataFrame pass, and
+    compare every row against the pure-Python definition."""
+    import random
+
+    from jsi_spark.ops.text import repetition_features
+
+    rng = random.Random(20260817)
+    words = ["a", "bb", "ccc", "dd dd", "x", "longword", "1", "!"]
+    texts = []
+    for _ in range(60):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            k = rng.randint(0, 5)
+            lines.append(" ".join(rng.choice(words) for _ in range(k)))
+        if lines and rng.random() < 0.5:    # force duplicate lines
+            lines.append(rng.choice(lines))
+        texts.append("\n".join(lines))
+    texts += ["", " ", "\n\n", "a", "a\na", " \n a \n a"]
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.f.asDict()
+           for r in df.select("doc_id",
+                              repetition_features(F.col("text"))
+                              .alias("f")).collect()}
+
+    def expected(text):
+        import re
+
+        # mirror the ENGINE's semantics exactly: Spark trim() (and the
+        # DuckDB oracle's trim()) strips spaces only, not \n/\t, and
+        # Spark split keeps boundary empty tokens
+        lines = [ln for ln in text.split("\n") if ln.strip(" ")]
+        seen = {}
+        for ln in lines:
+            seen[ln] = seen.get(ln, 0) + 1
+        extra = sum((c - 1) * len(ln) for ln, c in seen.items())
+        line_chars = sum(len(ln) for ln in lines)
+        toks = re.split(r"\s+", text.lower().strip(" "))
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        cover = max((grams.count(g) * len(g) for g in set(grams)),
+                    default=0)
+        return (round((len(lines) - len(seen)) / max(len(lines), 1), 6),
+                round(extra / max(line_chars, 1), 6),
+                round(cover / max(len(text), 1), 6))
+
+    for doc_id, text in rows:
+        e = expected(text)
+        g = (got[doc_id]["dup_line_frac"],
+             got[doc_id]["dup_line_char_frac"],
+             got[doc_id]["top_bigram_char_frac"])
+        for gv, ev in zip(g, e):
+            assert gv == pytest.approx(ev, abs=1e-9), (doc_id, repr(text), g, e)
+
+
+def test_multipleof_divisor_overflow_branch(spark):
+    """Divisor outside Decimal(38,12): double-fmod fallback, no crash."""
+    from pyspark.sql import types as T
+
+    from jsi_spark.compile.compiler import compile_schema
+    from jsi_spark.exec.columnar import typed_validator
+
+    schema = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+              "properties": {"x": {"multipleOf": 1e30}}}
+    st = T.StructType([T.StructField("x", T.DoubleType())])
+    tv = typed_validator(compile_schema(schema), st)
+    df = spark.createDataFrame([(2e30,), (1.5e30,), (0.0,)], st)
+    got = {r.x: r.v
+           for r in df.select("x", tv.valid_column().alias("v")).collect()}
+    assert got[2e30] is True and got[0.0] is True
+    assert got[1.5e30] is False
