@@ -396,7 +396,9 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.getField("top_bigram_char_frac").alias("top_bigram_char_frac"))
 
 
-SOURCE_CAP = 50
+#: small enough that the cap actively bites at the driver's sf0.01
+#: correctness scale (20 sources x 25 docs there)
+SOURCE_CAP = 10
 
 
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
