@@ -102,7 +102,10 @@ _DOCS_DOC_ID_SQL = (
 
 
 def _media_dim(spark: SparkSession) -> DataFrame:
-    return spark.range(N_MEDIA).select(
+    # 4 partitions, not defaultParallelism(=cores): a 30-row dim in 32
+    # partitions spins 32 Python workers for the mapInPandas stage —
+    # the cold-start dominated this query's bench time 8x
+    return spark.range(0, N_MEDIA, 1, 4).select(
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_ref"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.col("id") % 3 + 1).cast("int")).alias("media_kind"),

@@ -230,6 +230,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     denominator — the result is exact Jaccard over the capped shingle
     sets. ``None`` disables (exact, but unsafe on corpora with hot
     boilerplate)."""
+    # deliberately NOT persisted pre-cap: the df-cap aggregate and the
+    # capped join's probe side each explode the shingles, but that
+    # recompute is map-side only (the rare set broadcasts, or both
+    # sides shuffle on sh) — whereas caching the full exploded
+    # (id, shingle) projection is larger than the text itself and
+    # would not survive 100 TB. The post-cap projection below IS
+    # persisted (it feeds sizes + both self-join sides).
     sh = df.select(F.col(id_col).alias("_id"),
                    F.explode(word_shingles(F.col(content_col), shingle_n))
                    .alias("sh"))
