@@ -35,7 +35,8 @@ from jsi_spark.ops.dedup import (
 )
 from jsi_spark.ops.multimodal import extract_features, synth_media
 from jsi_spark.ops.similarity import (
-    brute_force_topk, ivf_centroids, ivf_topk, lsh_tables, lsh_topk,
+    brute_force_topk, embedding_near_duplicates, ivf_centroids,
+    ivf_topk, lsh_tables, lsh_topk,
     make_queries,
 )
 from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
@@ -479,6 +480,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, make_queries(emb, ANN_QUERY_IDS), tables, k=5)
 
 
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH blocking (4
+    planes × 16 tables — coarse buckets, high recall at this corpus's
+    sim range) + exact cosine verify, bucket-size capped. Only
+    (id, table, bucket) longs shuffle to form candidates."""
+    emb = _emb_double(spark, sf_dir)
+    tables = lsh_tables(dim=64, n_planes=4, n_tables=16)
+    return embedding_near_duplicates(emb, tables, threshold=0.4,
+                                     max_bucket_size=400)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(spark, sf_dir)
     cents = ivf_centroids(emb, n_centroids=8)
@@ -531,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "emb_near_dups": q_emb_near_dups,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
     }

@@ -172,6 +172,61 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
             .select("query_id", "vec_id", "rank", "sim"))
 
 
+def embedding_near_duplicates(emb: DataFrame, planes: list,
+                              threshold: float = 0.4,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              max_bucket_size: int | None = 1000,
+                              impl: str = "arrow") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a, id_b, sim): sign-LSH
+    blocking + exact cosine verify — the all-pairs analog of
+    ``lsh_topk`` (reference has no ANN; op required by the training-
+    data-pipeline brief: "embedding-cosine near-dup").
+
+    Scale shape mirrors MinHash LSH (ops/dedup.lsh_candidate_pairs):
+    only (id, table, bucket) longs shuffle to form candidates — the
+    vector column never rides the self-join; candidates are deduped
+    across tables BEFORE vectors re-join by id for the exact verify.
+    ``max_bucket_size`` drops degenerate buckets (a bucket of B vectors
+    contributes B²/2 pairs — one hot bucket, e.g. the all-zeros region,
+    otherwise goes quadratic). Choose n_planes so 2^n_planes ≫ expected
+    corpus/bucket: more planes = finer buckets = fewer candidates but
+    lower recall per table; compensate with more tables.
+    """
+    from jsi_spark.ops.dedup import _persist
+
+    tables = [planes] if isinstance(planes[0][0], (int, float)) else planes
+    if impl == "arrow":
+        bucket_udf = lsh_buckets_arrow(tables)
+        buckets = lambda v: bucket_udf(v)                # noqa: E731
+    else:
+        buckets = lambda v: F.array(*[lsh_bucket(v, t)   # noqa: E731
+                                      for t in tables])
+    eb = _persist(emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("_tbl", "_bucket")))
+    if max_bucket_size is not None:
+        ok = (eb.groupBy("_tbl", "_bucket")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= max_bucket_size)
+              .drop("_n"))
+        eb = eb.join(ok, ["_tbl", "_bucket"])
+    a, b = eb.alias("a"), eb.alias("b")
+    cand = (a.join(b, (F.col("a._tbl") == F.col("b._tbl"))
+                   & (F.col("a._bucket") == F.col("b._bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                    .alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
 # -- IVF ----------------------------------------------------------------------------
 
 def _assign(vec_col: str, centroids: list, impl: str) -> Column:

@@ -1,6 +1,7 @@
 """Independently-derived golden oracles for the hash-dependent driver
 queries that plain DuckDB SQL cannot express (no xxhash64):
-minhash_near_dups, simhash_candidates, ann_lsh, ann_ivf, media_features.
+minhash_near_dups, dedup_clusters, simhash_candidates, ann_lsh,
+ann_ivf, emb_near_dups, media_features.
 
 Each oracle recomputes the expected result in pure Python/numpy from the
 OPERATOR DEFINITIONS (MinHash banding, SimHash majority vote, sign-LSH,
@@ -231,6 +232,45 @@ def ann_lsh_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5,
     return _topk_rows(cand, vecs, k)
 
 
+def emb_near_dup_rows(emb, threshold=0.4, n_planes=4, n_tables=16,
+                      seed=99, max_bucket_size=400):
+    """Golden for embedding_near_duplicates: identical sign-LSH
+    bucketing (same numpy matmul as the engine's Arrow path), pair
+    enumeration per (table, bucket) with the bucket-size cap, dedup
+    across tables, exact cosine verify on the rounded sim."""
+    from jsi_spark.ops.similarity import lsh_tables
+
+    vecs = dict(emb)
+    tables = lsh_tables(dim=len(emb[0][1]), n_planes=n_planes,
+                        n_tables=n_tables, seed=seed)
+    planes = np.asarray(tables, dtype=np.float64)
+    flat = planes.reshape(n_tables * n_planes, -1)
+    pows = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    mat = np.asarray([v for _, v in emb], dtype=np.float64)
+    bits = (mat @ flat.T >= 0.0).astype(np.int64)
+    ids = bits.reshape(len(emb), n_tables, n_planes) @ pows   # (n, L)
+
+    pairs = set()
+    for t_i in range(n_tables):
+        by_bucket = defaultdict(list)
+        for i, (vec_id, _) in enumerate(emb):
+            by_bucket[int(ids[i, t_i])].append(vec_id)
+        for members in by_bucket.values():
+            if max_bucket_size is not None and len(members) > max_bucket_size:
+                continue
+            members.sort()
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    pairs.add((members[x], members[y]))
+    rows = []
+    for ia, ib in sorted(pairs):
+        sim = _round6(_dot(vecs[ia], vecs[ib])
+                      / (_norm(vecs[ia]) * _norm(vecs[ib])))
+        if sim >= threshold:
+            rows.append((ia, ib, sim))
+    return rows
+
+
 def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
                  nprobe=3):
     vecs = dict(emb)
@@ -317,7 +357,7 @@ def values_sql(rows, cols: list[str], types: list[str]) -> str:
 
 @lru_cache(maxsize=4)
 def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
-    """DuckDB SQL (literal VALUES tables) for the five hash-dependent
+    """DuckDB SQL (literal VALUES tables) for the hash-dependent
     driver queries, recomputed from the parquet under ``sf_dir``."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     emb_raw = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -338,6 +378,9 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
         "ann_lsh": values_sql(
             ann_lsh_rows(emb), ["query_id", "vec_id", "rank", "sim"],
             ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
+        "emb_near_dups": values_sql(
+            emb_near_dup_rows(emb), ["id_a", "id_b", "sim"],
+            ["BIGINT", "BIGINT", "DOUBLE"]),
         "ann_ivf": values_sql(
             ann_ivf_rows(emb), ["query_id", "vec_id", "rank", "sim"],
             ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),

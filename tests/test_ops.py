@@ -14,8 +14,8 @@ from jsi_spark.ops.dedup import (
     simhash_candidates,
 )
 from jsi_spark.ops.similarity import (
-    brute_force_topk, ivf_centroids, ivf_topk, lsh_tables, lsh_topk,
-    make_queries,
+    brute_force_topk, embedding_near_duplicates, ivf_centroids, ivf_topk,
+    lsh_tables, lsh_topk, make_queries,
 )
 from jsi_spark.ops.text import text_profile
 
@@ -159,6 +159,44 @@ def test_lsh_and_ivf_recall(spark, embeddings):
     # correct shape, non-trivial recall"
     assert lsh_recall >= 0.3, f"LSH recall {lsh_recall}"
     assert ivf_recall >= 0.5, f"IVF recall {ivf_recall}"
+
+
+def test_embedding_near_duplicates_planted(spark):
+    """Planted near-identical vectors must be recovered: identical
+    vectors land in the same bucket of EVERY table, so recall on exact
+    dups is 1.0 regardless of plane luck; unrelated orthogonal-ish
+    vectors must stay out."""
+    import random
+    rng = random.Random(42)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant: 100+i duplicates vector i (tiny perturbation, cos ≈ 1)
+    rows += [(100 + i, [x * 1.0001 for x in base[i]]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = lsh_tables(dim=16, n_planes=4, n_tables=8, seed=5)
+    out = embedding_near_duplicates(emb, tables, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in out}
+    assert {(i, 100 + i) for i in range(5)} <= found
+    for r in out:
+        assert r.sim >= 0.99
+
+    # bucket-size cap: 0-cap drops every bucket -> no candidates
+    assert embedding_near_duplicates(emb, tables, threshold=0.0,
+                                     max_bucket_size=0).count() == 0
+
+
+def test_emb_near_dups_matches_golden(spark):
+    """Driver query ≡ pure-numpy golden (bit-exact, incl. rounded sim)."""
+    import __spark_entry__ as entrymod
+    from jsi_spark.oracles import _read as oracle_read
+    from jsi_spark.oracles import emb_near_dup_rows
+
+    got = sorted(tuple(r) for r in
+                 entrymod.q_emb_near_dups(spark, SF_DIR).collect())
+    emb = [(vid, [float(x) for x in v])
+           for vid, v in oracle_read(SF_DIR, "embeddings",
+                                     ["vec_id", "embedding"])]
+    assert got == sorted(emb_near_dup_rows(emb))
 
 
 def test_text_profile_oracle(spark, documents):
