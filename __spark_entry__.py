@@ -30,8 +30,8 @@ from jsi_spark.exec.uniqueness import duplicate_keys
 from jsi_spark.exec.verdicts import partition_verdicts
 from jsi_spark.functions.udfs import valid_json_udf, violations_json_udf
 from jsi_spark.ops.dedup import (
-    duplicate_clusters, exact_duplicates, minhash_near_duplicates,
-    ngram_jaccard_pairs, simhash_candidates,
+    benchmark_overlap, duplicate_clusters, exact_duplicates,
+    minhash_near_duplicates, ngram_jaccard_pairs, simhash_candidates,
 )
 from jsi_spark.ops.multimodal import extract_features, synth_media
 from jsi_spark.ops.similarity import (
@@ -430,6 +430,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(keyed, content_col="content", id_col="doc_id")
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram overlap (decontamination): training docs that
+    share >= 1 word 3-gram with the deterministic probe subset
+    (doc_id % 50 == 0 plays the benchmark)."""
+    docs = _read(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return benchmark_overlap(corpus, probe, shingle_n=3)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(docs, id_col="doc_id", content_col="text",
@@ -537,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "source_budget": q_source_budget,
         "dedup_exact": q_dedup_exact,
+        "decontamination": q_decontamination,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -673,6 +684,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """
+
+    decontam_sql = """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(t[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                                 ' ') AS sh
+          FROM toks, UNNEST(range(1, GREATEST(len(t) - 2, 1) + 1)) AS u(i)),
+        probe AS (
+          SELECT DISTINCT doc_id AS pid, sh FROM grams
+          WHERE doc_id % 50 = 0),
+        corp AS (SELECT doc_id, sh FROM grams WHERE doc_id % 50 <> 0)
+        SELECT c.doc_id,
+               CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_hits,
+               CAST(COUNT(DISTINCT p.pid) AS BIGINT) AS n_probe_docs
+        FROM corp c JOIN probe p ON c.sh = p.sh
+        GROUP BY 1
     """
 
     ann_sql = """
@@ -923,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
                     = 1) AS is_canonical
             FROM c""",
         "ngram_jaccard": jaccard_sql,
+        "decontamination": decontam_sql,
         "ann_bruteforce": ann_sql,
     }
     # minhash_near_dups / simhash_candidates / ann_lsh / ann_ivf /

@@ -441,3 +441,45 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
     return pairs.select("id_a", "id_b",
                         F.bit_count(xor).alias("hamming"))
+
+
+# -- decontamination (benchmark n-gram overlap) --------------------------------------
+
+def benchmark_overlap(df: DataFrame, probe: DataFrame, shingle_n: int = 3,
+                      id_col: str = "doc_id", content_col: str = "text",
+                      probe_id_col: str = "doc_id",
+                      probe_content_col: str = "text",
+                      broadcast_probe: bool = True) -> DataFrame:
+    """Decontamination: training docs sharing ≥1 word n-gram with a
+    benchmark/eval probe set (the GPT-3 / Gopher n-gram overlap check —
+    a training-data-pipeline op beyond the reference's own surface).
+    Returns (id_col, n_hits, n_probe_docs): distinct overlapping
+    shingles and how many distinct probe documents those shingles
+    touch.
+
+    Scale shape: the probe side (benchmarks are small — 10^5..10^6
+    distinct shingles) is distinct-projected and broadcast, so the
+    corpus side is a map-side hash-semi-join + one aggregate shuffle of
+    matched (id, shingle, probe_id) rows only; the corpus text itself
+    never shuffles. Set ``broadcast_probe=False`` for probe sets beyond
+    broadcast size (falls back to a (shingle)-keyed shuffle join). The
+    two exact COUNT(DISTINCT)s plan one Expand (input ×2) over the
+    matched subset — matched rows are rare post-filter, so that is the
+    right trade vs approx sketches here.
+    """
+    corpus = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(content_col), shingle_n))
+        .alias("sh"))
+    pr = (probe.select(
+        F.col(probe_id_col).alias("_pid"),
+        F.explode(word_shingles(F.col(probe_content_col), shingle_n))
+        .alias("sh"))
+        .distinct())
+    if broadcast_probe:
+        pr = F.broadcast(pr)
+    return (corpus.join(pr, "sh")
+            .groupBy("_id")
+            .agg(F.countDistinct("sh").alias("n_hits"),
+                 F.countDistinct("_pid").alias("n_probe_docs"))
+            .select(F.col("_id").alias(id_col), "n_hits", "n_probe_docs"))

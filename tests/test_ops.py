@@ -161,6 +161,35 @@ def test_lsh_and_ivf_recall(spark, embeddings):
     assert ivf_recall >= 0.5, f"IVF recall {ivf_recall}"
 
 
+def test_benchmark_overlap_planted(spark):
+    """Planted contamination is found; clean docs are absent; the probe
+    side broadcasts (corpus never shuffles to meet it)."""
+    from jsi_spark.ops.dedup import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "he saw the quick brown fox run"),        # overlaps probe 0
+         (11, "jugs liquor dozen five with box my pack"),  # same tokens
+                                                            # reversed: no
+                                                            # shared 3-gram
+         (12, "completely unrelated sentence here ok"),
+         (13, "the quick brown fox jumps again and pack my box with "
+              "five dozen")],                           # overlaps 0 and 1
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in benchmark_overlap(corpus, bench).collect()}
+    assert set(out) == {10, 13}
+    assert out[10].n_hits == 2        # "the quick brown", "quick brown fox"
+    assert out[10].n_probe_docs == 1
+    assert out[13].n_probe_docs == 2  # hits both benchmark docs
+    # reversed word order shares no 3-gram: doc 11 must be clean
+    plan = (benchmark_overlap(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
 def test_embedding_near_duplicates_planted(spark):
     """Planted near-identical vectors must be recovered: identical
     vectors land in the same bucket of EVERY table, so recall on exact
