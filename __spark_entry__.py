@@ -36,8 +36,7 @@ from jsi_spark.ops.dedup import (
 from jsi_spark.ops.multimodal import extract_features, synth_media
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
-    ivf_topk, lsh_tables, lsh_topk,
-    make_queries,
+    ivf_topk, lsh_tables, lsh_topk, make_queries, near_dup_planes,
 )
 from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
 from jsi_spark.ops.text import repetition_features, text_profile
@@ -491,12 +490,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-LSH blocking (4
-    planes × 16 tables — coarse buckets, high recall at this corpus's
-    sim range) + exact cosine verify, bucket-size capped. Only
-    (id, table, bucket) longs shuffle to form candidates."""
+    """Embedding-cosine near-duplicate pairs: sign-LSH blocking + exact
+    cosine verify, bucket-size capped. Only (id, table, bucket) longs
+    shuffle to form candidates. Planes scale with corpus size (buckets
+    target ~32 vectors) so the within-bucket pair space stays linear-ish
+    as the corpus grows; 16 tables recover recall. The golden oracle
+    (jsi_spark.oracles.emb_near_dup_rows) applies the same rule.
+
+    threshold=0.4 is deliberately low: the synthetic embeddings are
+    near-orthogonal (max pairwise cosine ~0.5), so a realistic 0.9
+    near-dup threshold would return nothing. At 0.4 (66 deg) sign-LSH
+    blocks weakly — the candidate set is the recall price of a wide
+    angle; production near-dup thresholds collide in far fewer buckets
+    and the same plan prunes hard."""
     emb = _emb_double(spark, sf_dir)
-    tables = lsh_tables(dim=64, n_planes=4, n_tables=16)
+    n_planes = near_dup_planes(emb.count())
+    tables = lsh_tables(dim=64, n_planes=n_planes, n_tables=16)
     return embedding_near_duplicates(emb, tables, threshold=0.4,
                                      max_bucket_size=400)
 

@@ -172,6 +172,40 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
             .select("query_id", "vec_id", "rank", "sim"))
 
 
+def cosine_pairs_arrow():
+    """Arrow-batched pair cosine: array<double> a, b → double.
+    Per-row products reduce with numpy's pairwise summation over the
+    fixed vector length, so the result is independent of batch
+    composition — the numpy golden mirrors the identical (a*b).sum()
+    reduction (vs the JVM HOF fold, which is a sequential sum; the two
+    differ in final-ulp association, so engine and oracle must pick the
+    SAME one)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(va, vb):
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
+def near_dup_planes(n_vecs: int) -> int:
+    """Sign-LSH plane count targeting ~32 vectors per bucket
+    (2^planes ≈ n/32): keeps the within-bucket pair space linear-ish as
+    the corpus grows; add tables to recover recall. Shared by the Spark
+    query surface and the numpy golden oracle so both block identically.
+    """
+    import math
+    return max(4, math.ceil(math.log2(max(n_vecs / 32.0, 2.0))))
+
+
 def embedding_near_duplicates(emb: DataFrame, planes: list,
                               threshold: float = 0.4,
                               id_col: str = "vec_id",
@@ -220,10 +254,12 @@ def embedding_near_duplicates(emb: DataFrame, planes: list,
             .distinct())
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if impl == "arrow":
+        sim = cosine_pairs_arrow()(F.col("_va"), F.col("_vb"))
+    else:
+        sim = cosine(F.col("_va"), F.col("_vb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("_va"), F.col("_vb")), 6)
-                    .alias("sim"))
+            .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
             .filter(F.col("sim") >= threshold))
 
 

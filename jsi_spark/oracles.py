@@ -232,14 +232,18 @@ def ann_lsh_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5,
     return _topk_rows(cand, vecs, k)
 
 
-def emb_near_dup_rows(emb, threshold=0.4, n_planes=4, n_tables=16,
+def emb_near_dup_rows(emb, threshold=0.4, n_planes=None, n_tables=16,
                       seed=99, max_bucket_size=400):
     """Golden for embedding_near_duplicates: identical sign-LSH
     bucketing (same numpy matmul as the engine's Arrow path), pair
     enumeration per (table, bucket) with the bucket-size cap, dedup
-    across tables, exact cosine verify on the rounded sim."""
-    from jsi_spark.ops.similarity import lsh_tables
+    across tables, exact cosine verify on the rounded sim.
+    ``n_planes=None`` applies the query's corpus-scaled rule
+    (ops.similarity.near_dup_planes)."""
+    from jsi_spark.ops.similarity import lsh_tables, near_dup_planes
 
+    if n_planes is None:
+        n_planes = near_dup_planes(len(emb))
     vecs = dict(emb)
     tables = lsh_tables(dim=len(emb[0][1]), n_planes=n_planes,
                         n_tables=n_tables, seed=seed)
@@ -263,9 +267,14 @@ def emb_near_dup_rows(emb, threshold=0.4, n_planes=4, n_tables=16,
                 for y in range(x + 1, len(members)):
                     pairs.add((members[x], members[y]))
     rows = []
+    # verify mirrors the engine's Arrow kernel: numpy pairwise-sum
+    # reduction of (a*b), NOT the sequential HOF fold (_dot)
+    nv = {k: np.asarray(v, dtype=np.float64) for k, v in vecs.items()}
     for ia, ib in sorted(pairs):
-        sim = _round6(_dot(vecs[ia], vecs[ib])
-                      / (_norm(vecs[ia]) * _norm(vecs[ib])))
+        a, b = nv[ia], nv[ib]
+        sim = _round6(float((a * b).sum()
+                            / (np.sqrt((a * a).sum())
+                               * np.sqrt((b * b).sum()))))
         if sim >= threshold:
             rows.append((ia, ib, sim))
     return rows
