@@ -152,3 +152,45 @@ def test_duplicate_clusters_shuffles_labels_only(spark):
     plan = plan_of(duplicate_clusters(pairs, max_iter=2))
     # the final labels plan must not carry anything besides id/label
     assert "text" not in plan and "cluster_id" in plan
+
+
+def test_emb_near_dups_shuffles_longs_not_vectors(spark):
+    """The near-dup candidate self-join meets on the (id, table, bucket)
+    long projection: no shuffle Exchange repartitions the vector column.
+    Vectors appear only in scans and the id-keyed verify joins."""
+    from jsi_spark.ops.dedup import release_caches
+    from jsi_spark.ops.similarity import (
+        embedding_near_duplicates, lsh_tables)
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(8)])
+        .alias("embedding"))
+    try:
+        plan = plan_of(embedding_near_duplicates(
+            emb, lsh_tables(dim=8, n_planes=4, n_tables=4)))
+        for frag in plan.split("Exchange hashpartitioning(")[1:]:
+            keys = frag.split(")", 1)[0]
+            assert "embedding" not in keys, plan
+    finally:
+        release_caches()
+
+
+def test_benchmark_overlap_probe_broadcasts(spark):
+    """Decontamination joins the corpus against a BROADCAST distinct
+    probe-shingle projection — the corpus side never shuffles to meet
+    the probe; the only hashpartitioning exchange is the final per-doc
+    aggregate."""
+    from jsi_spark.ops.dedup import benchmark_overlap
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words of doc "), F.col("id")).alias("text"))
+    probe = docs.limit(10)
+    plan = plan_of(benchmark_overlap(docs, probe))
+    assert "BroadcastHashJoin" in plan, plan
+    # no shuffle keyed on the shingle column (that'd be the corpus
+    # repartitioning to meet the probe)
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")", 1)[0]
+        assert not keys.startswith("sh#"), plan
