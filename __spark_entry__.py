@@ -29,10 +29,12 @@ from jsi_spark.exec.stats import column_stats
 from jsi_spark.exec.uniqueness import duplicate_keys
 from jsi_spark.exec.verdicts import partition_verdicts
 from jsi_spark.functions.udfs import valid_json_udf, violations_json_udf
+from jsi_spark.io.tableio import parquet_num_rows
 from jsi_spark.ops.dedup import (
     benchmark_overlap, duplicate_clusters, exact_duplicates,
     minhash_near_duplicates, ngram_jaccard_pairs, simhash_candidates,
 )
+from jsi_spark.ops.dedup import _persist as _persist_op
 from jsi_spark.ops.multimodal import extract_features, synth_media
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
@@ -504,14 +506,27 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     angle; production near-dup thresholds collide in far fewer buckets
     and the same plan prunes hard."""
     emb = _emb_double(spark, sf_dir)
-    n_planes = near_dup_planes(emb.count())
+    # corpus size for plane scaling comes from parquet FOOTER metadata
+    # (zero Spark jobs) — on Iceberg this is the snapshot summary's
+    # total-records; a count() here would be a full scan job for one
+    # integer at 100 TB.
+    n_vecs = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    n_planes = near_dup_planes(n_vecs)
     tables = lsh_tables(dim=64, n_planes=n_planes, n_tables=16)
     return embedding_near_duplicates(emb, tables, threshold=0.4,
                                      max_bucket_size=400)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_double(spark, sf_dir)
+    """IVF build + search. The (vec_id, double-vector) projection is
+    persisted across the quantizer's three corpus passes (seed sample,
+    Lloyd means, search assignment) — on a cluster this is the standard
+    cache-the-training-projection pattern. impl="auto" resolves to the
+    pure-JVM Column fold here (8 centroids × 64 dims = 512 FMAs/row is
+    far too small to amortize the Arrow bridge — see
+    ops/similarity.use_arrow_impl), so the whole query plan contains
+    ZERO Python (pinned by tests/test_plans.py)."""
+    emb = _persist_op(_emb_double(spark, sf_dir))
     cents = ivf_centroids(emb, n_centroids=8)
     return ivf_topk(emb, make_queries(emb, ANN_QUERY_IDS), cents, k=5,
                     nprobe=3)

@@ -105,6 +105,19 @@ def canon_key(v):
     raise TypeError(f"not a JSON value: {type(v)}")
 
 
+def compile_regex(pattern: str):
+    """Schema regexes with ECMA-262-aligned predefined classes: Python's
+    default makes \\d/\\w/\\s match the full unicode categories, but
+    ECMA-262 (the spec's regex dialect), Java's (the typed path's
+    ``rlike``), and Ruby's (the reference) keep them ASCII — without
+    re.ASCII the generic and typed paths return DIFFERENT verdicts for
+    e.g. pattern "^\\d+$" against "٣". Explicit classes ([0-9],
+    [\\u00C0-\\u00FF], unicode literals) are unaffected by the flag.
+    The official suite skips the residual divergences the flag can't
+    align (the reference's own skip list, suite_test.rb:137-160)."""
+    return re.compile(pattern, re.ASCII)
+
+
 def is_multiple_of(v, q) -> bool:
     """reference: lib/jsi/schema/elements/numeric.rb:5-35 — modulo first,
     exact decimal (BigDecimal analog) fallback for float imprecision."""
@@ -248,7 +261,7 @@ class SchemaNode:
             # unanchored search, like Ruby Regexp#match
             # (reference: elements/pattern.rb:5-33; ECMA-262 caveat
             # README.md:181 — we use Python `re`, documented deviation)
-            kw["pattern"] = (v["pattern"], re.compile(v["pattern"]))
+            kw["pattern"] = (v["pattern"], compile_regex(v["pattern"]))
 
         # array assertions
         for k in ("maxItems", "minItems"):
@@ -308,7 +321,7 @@ class SchemaNode:
                                 for k in v["properties"]}
         if isinstance(v.get("patternProperties"), dict):
             kw["patternProperties"] = tuple(
-                (p, re.compile(p), sub("patternProperties", p))
+                (p, compile_regex(p), sub("patternProperties", p))
                 for p in v["patternProperties"])
         if isinstance(v.get("additionalProperties"), (dict, bool)):
             kw["additionalProperties"] = sub("additionalProperties")

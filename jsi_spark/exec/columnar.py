@@ -351,13 +351,18 @@ class TypedValidator:
                 # ANSI mode; the official suite's float-overflow case
                 # (multipleOf 0.123456789 vs 1e308) requires invalid,
                 # not a crash — CaseWhen branches evaluate lazily
-                # per-row, so the cast never runs for out-of-range rows
+                # per-row, so the cast never runs for out-of-range rows.
+                # Outside the Decimal window, IEEE fmod is exact: huge
+                # exact multiples (2^90 % 2.0) stay valid (matching the
+                # generic path's Fraction fallback and the reference's
+                # BigDecimal), while 1e308 % 0.123456789 stays invalid.
                 dec = T.DecimalType(38, 12)
                 bound = F.lit(1e25)
                 ok = F.when(
                     (c >= -bound) & (c <= bound),
                     F.pmod(c.cast(dec), F.lit(q).cast(dec)) == 0
-                ).otherwise(F.lit(False))
+                ).otherwise(
+                    F.pmod(c.cast("double"), F.lit(float(q))) == 0)
             checks.append(self._check(
                 ctx, numeric, ok, "multipleOf",
                 "validation.keyword.multipleOf.not_multiple"))

@@ -25,6 +25,20 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet file/directory from FOOTER METADATA
+    only — zero Spark jobs, zero data pages read. This is how parameter
+    sizing (e.g. LSH plane counts scaled to corpus size) must get its
+    count at 100 TB: Iceberg keeps the same statistic in snapshot
+    summaries (`total-records`); `df.count()` would be a whole scan job
+    for one integer."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    return sum(frag.metadata.num_rows
+               for frag in dataset.get_fragments())
+
+
 class SnapshotTable:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -95,6 +109,12 @@ class SnapshotTable:
             return None
         return spark.read.parquet(
             *[os.path.join(self.dir, b) for b in batches])
+
+    def num_rows(self) -> int:
+        """Iceberg snapshot-summary `total-records` analog: exact row
+        count from committed batches' parquet footers — no Spark job."""
+        return sum(parquet_num_rows(os.path.join(self.dir, b))
+                   for b in self.committed_batches())
 
     # -- maintenance -----------------------------------------------------------
 

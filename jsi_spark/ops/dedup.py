@@ -296,22 +296,29 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (edges.join(labels.withColumnRenamed("id", "dst")
                                    .withColumnRenamed("label", "nl"),
                                    "dst")
                         .groupBy("src").agg(F.min("nl").alias("nmin")))
+        new_label = F.least("label", F.coalesce("nmin", "label"))
         new_labels = (labels.join(neighbor_min.withColumnRenamed(
                                       "src", "id"), "id", "left")
-                      .select("id", F.least("label",
-                                            F.coalesce("nmin", "label"))
-                              .alias("label")))
+                      .select("id", new_label.alias("label"),
+                              # labels only ever decrease, so "changed"
+                              # is computed IN the propagation pass —
+                              # no separate old-vs-new join job
+                              (new_label < F.col("label"))
+                              .alias("_changed")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.drop("_changed")
+        # convergence probe every 2nd round (and on the last): a flag
+        # scan of the just-checkpointed partitions. One wasted no-op
+        # propagation round after convergence costs less than a driver
+        # action every round — at 100 TB the per-round job count, not
+        # the probe's data volume, is the driver-side bottleneck.
+        if (i % 2 == 1 or i == max_iter - 1) and \
+                new_labels.filter("_changed").isEmpty():
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 

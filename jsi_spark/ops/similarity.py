@@ -21,6 +21,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Measured bridge-vs-math threshold (same analysis as ops/dedup.py's
+# minhash impl note): an Arrow pandas UDF pays two serialization round
+# trips per batch and earns them back only when the per-row linear
+# algebra is BLAS-shaped. Below ~4k FMAs/row (e.g. 8 centroids × 64
+# dims = 512) the JVM whole-stage-codegen fold wins — round 2 measured
+# ann_ivf at 11.2s on Arrow vs ~5s on the Column fold, while ann_lsh
+# (8 tables × 8 planes × 64 dims = 4096) got 5× FASTER on Arrow.
+ARROW_MIN_OPS = 4096
+
+
+def use_arrow_impl(n_rows_mat: int, dim: int) -> bool:
+    """True when a per-row matmul of n_rows_mat×dim FMAs is big enough
+    to amortize the Arrow bridge. Shared by the engine AND the golden
+    oracles (jsi_spark.oracles) so the bucketing/assignment arithmetic
+    — numpy GEMM vs sequential fold, which differ in final-ulp
+    association — can never drift between the two."""
+    return n_rows_mat * dim >= ARROW_MIN_OPS
+
+
+def _resolve_impl(impl: str, n_rows_mat: int, dim: int) -> str:
+    if impl == "auto":
+        return "arrow" if use_arrow_impl(n_rows_mat, dim) else "column"
+    return impl
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
@@ -130,7 +155,7 @@ def lsh_buckets_arrow(tables: list):
 def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
              k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             impl: str = "arrow") -> DataFrame:
+             impl: str = "auto") -> DataFrame:
     """Approximate top-k: candidates = union of the query's buckets
     over L LSH tables (``planes`` is either one table — list of plane
     vectors — or a list of tables from ``lsh_tables``). Candidate ids
@@ -138,11 +163,14 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list,
     never duplicated ×L through the explode; only (id, table, bucket)
     longs shuffle. Same output shape as brute_force_topk.
 
-    ``impl="arrow"`` (default) computes buckets with one numpy matmul
-    per Arrow batch; ``impl="column"`` keeps the pure-JVM Column fold
-    (bit-identical buckets up to GEMM-vs-sequential float summation —
-    signs flip only for |dot| at rounding scale)."""
+    ``impl="auto"`` (default) picks per ``use_arrow_impl``: numpy
+    matmul per Arrow batch when the plane matrix is big enough to
+    amortize the bridge, else the pure-JVM Column fold (bit-identical
+    buckets up to GEMM-vs-sequential float summation — signs flip only
+    for |dot| at rounding scale)."""
     tables = [planes] if isinstance(planes[0][0], (int, float)) else planes
+    impl = _resolve_impl(impl, len(tables) * len(tables[0]),
+                         len(tables[0][0]))
     if impl == "arrow":
         bucket_udf = lsh_buckets_arrow(tables)
         buckets = lambda v: bucket_udf(v)                # noqa: E731
@@ -211,7 +239,7 @@ def embedding_near_duplicates(emb: DataFrame, planes: list,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               max_bucket_size: int | None = 1000,
-                              impl: str = "arrow") -> DataFrame:
+                              impl: str = "auto") -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (id_a, id_b, sim): sign-LSH
     blocking + exact cosine verify — the all-pairs analog of
     ``lsh_topk`` (reference has no ANN; op required by the training-
@@ -226,10 +254,19 @@ def embedding_near_duplicates(emb: DataFrame, planes: list,
     otherwise goes quadratic). Choose n_planes so 2^n_planes ≫ expected
     corpus/bucket: more planes = finer buckets = fewer candidates but
     lower recall per table; compensate with more tables.
+
+    The exploded (id, table, bucket) projection is persisted (it feeds
+    both the bucket-size census and the self-join) via ops.dedup's
+    session cache — callers that run many queries in one session should
+    call ``jsi_spark.ops.dedup.release_caches()`` after collecting
+    (bench.py and tests/test_plans.py do; the frame is (long,int,long)
+    rows, ~20 B/vector/table, recompute-safe if evicted).
     """
     from jsi_spark.ops.dedup import _persist
 
     tables = [planes] if isinstance(planes[0][0], (int, float)) else planes
+    impl = _resolve_impl(impl, len(tables) * len(tables[0]),
+                         len(tables[0][0]))
     if impl == "arrow":
         bucket_udf = lsh_buckets_arrow(tables)
         buckets = lambda v: bucket_udf(v)                # noqa: E731
@@ -273,14 +310,17 @@ def _assign(vec_col: str, centroids: list, impl: str) -> Column:
 
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id", impl: str = "arrow") -> list:
+                  id_col: str = "vec_id", impl: str = "auto") -> list:
     """Coarse quantizer: deterministic hash-sampled seeds + one Lloyd
-    refinement step (all as DataFrame aggregations)."""
+    refinement step (all as DataFrame aggregations). Callers running
+    the build AND a search should persist ``emb`` first — the corpus is
+    scanned here for seeds and once more for the Lloyd means."""
     seeds = (emb.withColumn("_h", F.pmod(F.xxhash64(id_col), 997))
              .orderBy("_h", id_col).limit(n_centroids)
              .select(vec_col).collect())
     cents = [list(r[0]) for r in seeds]
     dim = len(cents[0])
+    impl = _resolve_impl(impl, n_centroids, dim)
     assigned = emb.withColumn("_c", _assign(vec_col, cents, impl))
     means = (assigned.groupBy("_c")
              .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}")
@@ -333,10 +373,14 @@ def _nearest_centroid(vec: Column, centroids: list) -> Column:
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
              k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", impl: str = "arrow") -> DataFrame:
+             vec_col: str = "embedding", impl: str = "auto") -> DataFrame:
     """IVF search: score only vectors in the nprobe closest centroid
-    cells of each query. ``impl="arrow"`` assigns cells with one numpy
-    matmul per batch; ``impl="column"`` keeps the pure-JVM fold."""
+    cells of each query. ``impl="auto"`` picks per ``use_arrow_impl``
+    — for small coarse quantizers (n_centroids × dim below ~4k FMAs,
+    the common case) cell assignment stays a pure-JVM codegen fold with
+    ZERO Python in the plan; the Arrow matmul path engages only when
+    the centroid matrix is big enough to amortize the bridge."""
+    impl = _resolve_impl(impl, len(centroids), len(centroids[0]))
     cells = emb.withColumn("_c", _assign(vec_col, centroids, impl))
     qrows = queries.collect()
     probe = []

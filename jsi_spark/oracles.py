@@ -204,6 +204,33 @@ def _topk_rows(cand_by_query, vecs, k=5):
     return rows
 
 
+def _lsh_bucket_ids(emb, tables):
+    """(n, L) sign-LSH bucket ids, mirroring whichever impl the
+    engine's ``impl="auto"`` resolves to (ops.similarity.use_arrow_impl
+    is the single shared decision): the Arrow path is one numpy matmul
+    (same BLAS, same dtype); the Column path is the sequential JVM fold
+    acc*2 + signbit with a sequential dot."""
+    from jsi_spark.ops.similarity import use_arrow_impl
+
+    n_tables, n_planes = len(tables), len(tables[0])
+    dim = len(tables[0][0])
+    if use_arrow_impl(n_tables * n_planes, dim):
+        planes = np.asarray(tables, dtype=np.float64)
+        flat = planes.reshape(n_tables * n_planes, -1)
+        pows = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+        mat = np.asarray([v for _, v in emb], dtype=np.float64)
+        bits = (mat @ flat.T >= 0.0).astype(np.int64)
+        return bits.reshape(len(emb), n_tables, n_planes) @ pows
+    ids = np.zeros((len(emb), n_tables), dtype=np.int64)
+    for i, (_, v) in enumerate(emb):
+        for t, table in enumerate(tables):
+            acc = 0
+            for plane in table:
+                acc = acc * 2 + (1 if _dot(v, plane) >= 0.0 else 0)
+            ids[i, t] = acc
+    return ids
+
+
 def ann_lsh_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5,
                  n_planes=8, n_tables=8, seed=99):
     from jsi_spark.ops.similarity import lsh_tables
@@ -211,14 +238,7 @@ def ann_lsh_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5,
     vecs = dict(emb)
     tables = lsh_tables(dim=len(emb[0][1]), n_planes=n_planes,
                         n_tables=n_tables, seed=seed)
-    # engine bucketing is an Arrow-batched numpy matmul — use the
-    # identical operation (same BLAS, same dtype) here
-    planes = np.asarray(tables, dtype=np.float64)
-    flat = planes.reshape(n_tables * n_planes, -1)
-    pows = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
-    mat = np.asarray([v for _, v in emb], dtype=np.float64)
-    bits = (mat @ flat.T >= 0.0).astype(np.int64)
-    ids = bits.reshape(len(emb), n_tables, n_planes) @ pows   # (n, L)
+    ids = _lsh_bucket_ids(emb, tables)                    # (n, L)
 
     row_of = {vec_id: i for i, (vec_id, _) in enumerate(emb)}
     cand = defaultdict(set)
@@ -247,12 +267,7 @@ def emb_near_dup_rows(emb, threshold=0.4, n_planes=None, n_tables=16,
     vecs = dict(emb)
     tables = lsh_tables(dim=len(emb[0][1]), n_planes=n_planes,
                         n_tables=n_tables, seed=seed)
-    planes = np.asarray(tables, dtype=np.float64)
-    flat = planes.reshape(n_tables * n_planes, -1)
-    pows = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
-    mat = np.asarray([v for _, v in emb], dtype=np.float64)
-    bits = (mat @ flat.T >= 0.0).astype(np.int64)
-    ids = bits.reshape(len(emb), n_tables, n_planes) @ pows   # (n, L)
+    ids = _lsh_bucket_ids(emb, tables)                    # (n, L)
 
     pairs = set()
     for t_i in range(n_tables):
@@ -267,14 +282,22 @@ def emb_near_dup_rows(emb, threshold=0.4, n_planes=None, n_tables=16,
                 for y in range(x + 1, len(members)):
                     pairs.add((members[x], members[y]))
     rows = []
-    # verify mirrors the engine's Arrow kernel: numpy pairwise-sum
-    # reduction of (a*b), NOT the sequential HOF fold (_dot)
+    # verify mirrors whichever kernel the engine's impl="auto" picked:
+    # Arrow = numpy pairwise-sum reduction of (a*b); Column = the
+    # sequential HOF fold (_dot). Same use_arrow_impl decision.
+    from jsi_spark.ops.similarity import use_arrow_impl
+
+    arrow = use_arrow_impl(n_tables * n_planes, len(emb[0][1]))
     nv = {k: np.asarray(v, dtype=np.float64) for k, v in vecs.items()}
     for ia, ib in sorted(pairs):
-        a, b = nv[ia], nv[ib]
-        sim = _round6(float((a * b).sum()
-                            / (np.sqrt((a * a).sum())
-                               * np.sqrt((b * b).sum()))))
+        if arrow:
+            a, b = nv[ia], nv[ib]
+            sim = _round6(float((a * b).sum()
+                                / (np.sqrt((a * a).sum())
+                                   * np.sqrt((b * b).sum()))))
+        else:
+            a, b = vecs[ia], vecs[ib]
+            sim = _round6(_dot(a, b) / (_norm(a) * _norm(b)))
         if sim >= threshold:
             rows.append((ia, ib, sim))
     return rows
@@ -288,14 +311,34 @@ def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
                                        r[0]))
     cents = [list(v) for _, v in order[:n_centroids]]
 
-    # engine cell assignment is an Arrow-batched numpy matmul + argmax
-    # (first max wins) — use the identical operation here
-    mat = np.asarray([v for _, v in emb], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    # engine cell assignment (impl="auto") resolves via the SAME
+    # heuristic: Arrow numpy matmul + argmax when the centroid matrix
+    # amortizes the bridge, else the JVM Column fold (sequential dot,
+    # strict-> update = first max wins). Mirror whichever the engine
+    # picks so the float association is identical.
+    from jsi_spark.ops.similarity import use_arrow_impl
 
-    def assign_all(centroids):
-        sims = (mat @ np.asarray(centroids, dtype=np.float64).T) / norms
-        return np.argmax(sims, axis=1)
+    dim = len(cents[0])
+    if use_arrow_impl(n_centroids, dim):
+        mat = np.asarray([v for _, v in emb], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+
+        def assign_all(centroids):
+            sims = (mat @ np.asarray(centroids, dtype=np.float64).T) \
+                / norms
+            return np.argmax(sims, axis=1)
+    else:
+        def assign_all(centroids):
+            out = []
+            for _, v in emb:
+                nv = _norm(v)
+                best_i, best_s = 0, -1e30
+                for j, c in enumerate(centroids):
+                    s = _dot(v, c) / nv
+                    if s > best_s:
+                        best_i, best_s = j, s
+                out.append(best_i)
+            return out
 
     # one Lloyd step: per-cluster component means (empty keeps seed)
     members = defaultdict(list)

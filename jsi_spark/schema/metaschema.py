@@ -17,10 +17,24 @@ official meta-schemas.
 Each generated meta-schema validates itself (pinned in
 tests/test_metaschema.py), the analog of the reference's
 meta-schema-root bootstrap.
+
+Alongside the generated ones, the VERBATIM official draft meta-schema
+documents (json-schema.org publications; the reference vendors the
+same files under lib/schemas/json-schema.org/**) are embedded under
+``metaschemas/`` and compiled through the generic path —
+:func:`official_metaschema` — so schema documents can be judged by the
+community-adjudicated definition, not only our generated approximation.
+The generated meta-schemas remain the runtime compile gate (their
+error keys are pinned); tests cross-check the two never disagree on a
+verdict, and that each official meta-schema validates ITSELF through
+the engine (the reference's metaschema_node.rb self-descriptive
+bootstrap).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from functools import lru_cache
 
 from jsi_spark.compile.dialects import (
@@ -144,6 +158,62 @@ _EXTRA_SHAPES = {
     "unevaluatedItems": _S,
     "unevaluatedProperties": _S,
 }
+
+
+# -- official draft meta-schemas (verbatim json-schema.org documents) -------
+
+_OFFICIAL_DIR = os.path.join(os.path.dirname(__file__), "metaschemas")
+
+# dialect name -> (root URI, relative file of the root document)
+OFFICIAL_ROOTS = {
+    "draft4": ("http://json-schema.org/draft-04/schema",
+               "draft-04.schema.json"),
+    "draft6": ("http://json-schema.org/draft-06/schema",
+               "draft-06.schema.json"),
+    "draft7": ("http://json-schema.org/draft-07/schema",
+               "draft-07.schema.json"),
+    "draft2020-12": ("https://json-schema.org/draft/2020-12/schema",
+                     "draft/2020-12/schema.json"),
+}
+
+_2020_VOCABS = ("core", "applicator", "unevaluated", "validation",
+                "meta-data", "format-annotation", "content")
+
+
+@lru_cache(maxsize=1)
+def official_metaschema_documents() -> dict:
+    """URI -> verbatim official meta-schema document (the four draft
+    roots plus 2020-12's seven vocabulary meta-schemas, which the root
+    references via relative ``$ref``s in its ``allOf``)."""
+
+    def load(rel):
+        with open(os.path.join(_OFFICIAL_DIR, rel)) as f:
+            return json.load(f)
+
+    docs = {uri: load(rel) for uri, rel in OFFICIAL_ROOTS.values()}
+    for vocab in _2020_VOCABS:
+        docs[f"https://json-schema.org/draft/2020-12/meta/{vocab}"] = \
+            load(f"draft/2020-12/meta/{vocab}.json")
+    return docs
+
+
+@lru_cache(maxsize=8)
+def official_metaschema(dialect_name: str):
+    """The OFFICIAL meta-schema for ``dialect_name``, compiled through
+    the generic path (a registry preloaded with every embedded official
+    document resolves 2020-12's cross-document vocabulary ``$ref``s and
+    its ``$dynamicRef: "#meta"`` recursion)."""
+    from jsi_spark.compile.compiler import compile_schema
+    from jsi_spark.schema.registry import Registry
+
+    docs = official_metaschema_documents()
+    reg = Registry()
+    for uri, doc in docs.items():
+        reg.register(doc, uri=uri)
+    root_uri, _ = OFFICIAL_ROOTS[dialect_name]
+    return compile_schema(docs[root_uri], registry=reg,
+                          dialect=DIALECTS[dialect_name],
+                          validate_schema=False)
 
 
 class SchemaDocumentError(ValueError):

@@ -84,6 +84,31 @@ def test_registry_autoload():
     assert not cs.is_valid(5)
 
 
+def test_id_inside_enum_is_not_an_identifier():
+    """Official-suite semantics (draft2020-12/id.json): an "$id" that
+    appears inside an enum VALUE is plain data — it must not register a
+    resolvable resource, so a $ref to that URI fails resolution
+    (surfaced as SchemaCompileError wrapping the ResolutionError)."""
+    from jsi_spark.compile.compiler import SchemaCompileError
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"e": {"enum": [
+            {"$id": "https://example.test/enum-only.json",
+             "type": "null"}]}},
+        "$ref": "https://example.test/enum-only.json"}
+    with pytest.raises(SchemaCompileError):
+        compile_schema(schema)
+    # same for const values
+    schema2 = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"c": {"const":
+                        {"$anchor": "only-data", "type": "null"}}},
+        "$ref": "#only-data"}
+    with pytest.raises(SchemaCompileError):
+        compile_schema(schema2)
+
+
 def test_pointer_roundtrip():
     p = Pointer.from_pointer("/a~1b/3/x~0y")
     assert p.tokens == ("a/b", "3", "x~y")

@@ -6,9 +6,10 @@ No Spark needed — this is the driver-side generic path."""
 import pytest
 
 from jsi_spark.compile.compiler import compile_schema
-from jsi_spark.compile.dialects import DIALECTS
+from jsi_spark.compile.dialects import DIALECTS, detect_dialect
 from jsi_spark.schema.metaschema import (
-    SchemaDocumentError, check_schema_document, metaschema_for,
+    OFFICIAL_ROOTS, SchemaDocumentError, check_schema_document,
+    metaschema_for, official_metaschema, official_metaschema_documents,
 )
 
 
@@ -89,3 +90,64 @@ def test_error_points_into_schema_document():
         compile_schema({"properties": {"x": {"required": "nope"}}})
     ptrs = [e.instance_ptr for e in ei.value.errors]
     assert any(p == "/properties/x/required" for p in ptrs), ptrs
+
+
+# -- verbatim official draft meta-schemas (metaschemas/*.json) --------------
+
+@pytest.mark.parametrize("name", sorted(OFFICIAL_ROOTS))
+def test_official_metaschema_validates_itself(name):
+    """The reference's self-descriptive bootstrap, with the REAL
+    documents: each official meta-schema, compiled through the generic
+    path (2020-12 resolves its seven vocabulary $refs and its
+    $dynamicRef '#meta' recursion across documents), validates its own
+    document."""
+    docs = official_metaschema_documents()
+    ms = official_metaschema(name)
+    assert ms.is_valid(docs[OFFICIAL_ROOTS[name][0]])
+
+
+def test_official_2020_validates_vocab_metas_and_generated():
+    """2020-12's vocabulary meta-schemas are themselves valid 2020-12
+    schemas, and so are our four GENERATED meta-schemas (all authored
+    in 2020-12)."""
+    ms = official_metaschema("draft2020-12")
+    docs = official_metaschema_documents()
+    for uri, doc in docs.items():
+        if "/meta/" in uri:
+            assert ms.is_valid(doc), uri
+    for name in sorted(DIALECTS):
+        assert ms.is_valid(metaschema_for(DIALECTS[name])), name
+
+
+@pytest.mark.parametrize("schema,kw,frag", BAD,
+                         ids=[f"official-{k}-{f}" for _, k, f in BAD])
+def test_malformed_schemas_fail_official_metaschema(schema, kw, frag):
+    """Every malformed-schema case our generated meta-schema rejects is
+    also rejected by the OFFICIAL 2020-12 meta-schema — the generated
+    gate is not inventing constraints the spec doesn't have."""
+    ms = official_metaschema("draft2020-12")
+    assert not ms.is_valid(schema), (kw, frag)
+
+
+def test_generated_and_official_agree_on_fixture_corpus():
+    """Verdict agreement between generated and official meta-schemas
+    over every schema document in the conformance fixture corpus, per
+    its own draft (the generated gate may only be LESS strict than the
+    official document on valid schemas — and on this corpus both sides
+    must say valid)."""
+    from suite_fixtures import SUITE
+
+    from jsi_spark.schema.metaschema import _compiled_metaschema
+
+    n = 0
+    for group in SUITE:
+        schema = group["schema"]
+        if not isinstance(schema, (dict, bool)):
+            continue
+        dialect = detect_dialect(schema)
+        official = official_metaschema(dialect.name)
+        generated = _compiled_metaschema(dialect.name)
+        o, g = official.is_valid(schema), generated.is_valid(schema)
+        assert o and g, (group["description"], dialect.name, o, g)
+        n += 1
+    assert n > 150  # the corpus is supposed to be big

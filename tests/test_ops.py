@@ -513,3 +513,30 @@ def test_multipleof_divisor_overflow_branch(spark):
            for r in df.select("x", tv.valid_column().alias("v")).collect()}
     assert got[2e30] is True and got[0.0] is True
     assert got[1.5e30] is False
+
+
+def test_multipleof_huge_value_fractional_divisor(spark):
+    """Value outside Decimal(38,12) with a fractional divisor: IEEE fmod
+    fallback — exact huge multiples (2^90 % 2.0) are VALID (reference
+    BigDecimal semantics, numeric.rb), while the official suite's
+    1e308 % 0.123456789 stays invalid. Typed must agree with the generic
+    path's Fraction fallback."""
+    from pyspark.sql import types as T
+
+    from jsi_spark.compile.compiler import compile_schema, is_multiple_of
+    from jsi_spark.exec.columnar import typed_validator
+
+    cases = [(float(2 ** 90), 2.0, True),
+             (float(2 ** 90) + 2.0 ** 38, 2.0, True),   # still a multiple
+             (1e308, 0.123456789, False),
+             (float(2 ** 90), 3.0, False)]
+    for v, q, want in cases:
+        assert is_multiple_of(v, q) is want, (v, q)
+        schema = {"$schema":
+                  "https://json-schema.org/draft/2020-12/schema",
+                  "properties": {"x": {"multipleOf": q}}}
+        st = T.StructType([T.StructField("x", T.DoubleType())])
+        tv = typed_validator(compile_schema(schema), st)
+        df = spark.createDataFrame([(v,)], st)
+        got = df.select(tv.valid_column().alias("ok")).collect()[0].ok
+        assert got is want, (v, q, got)

@@ -245,6 +245,79 @@ def test_resume_with_different_chunking_no_duplicates(spark, docs, media,
     assert t["lineage"].filter(F.col("snapshot_id").isNull()).count() == 0
 
 
+def _ops_docs(spark):
+    """Small corpus with planted exact dups, a hot stratum, and
+    probe-overlapping docs — every standard stage has work to do."""
+    rows = []
+    for i in range(120):
+        src = "hot" if i % 3 == 0 else f"s{i % 5}"
+        text = f"unique document number {i} with some shared words"
+        if i % 10 == 7:
+            text = "exactly duplicated payload text"      # exact dups
+        if i % 25 == 3:
+            text = "the secret benchmark sentence appears here verbatim"
+        rows.append((i, src, text))
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+def test_ops_pipeline_stages_and_resume(spark, tmp_path):
+    """LLM-ops pipeline (dedup → quota-cap → decontaminate) as
+    registered, checkpointed stages: a simulated crash mid-run resumes
+    at bucket granularity, never recomputes committed stages, and the
+    resumed result equals a clean uninterrupted run (incl. lineage
+    rows for every stage × bucket)."""
+    from jsi_spark.ops.pipeline import (
+        OpsPipeline, decontaminate_stage, dedup_exact_stage,
+        quota_cap_stage)
+
+    docs = _ops_docs(spark)
+    probe = spark.createDataFrame(
+        [(0, "the secret benchmark sentence appears here verbatim")],
+        "doc_id long, text string")
+
+    def build():
+        return (OpsPipeline(n_buckets=4)
+                .add_stage("dedup", dedup_exact_stage())
+                .add_stage("quota", quota_cap_stage(cap=20))
+                .add_stage("decontam", decontaminate_stage(probe)))
+
+    clean = build().run(spark, docs, str(tmp_path / "clean"))
+    out = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build().run(spark, docs, out, parts_per_job=2,
+                    fail_after_commits=3)
+    resumed = build().run(spark, docs, out, parts_per_job=2)
+
+    from jsi_spark.io.tableio import SnapshotTable
+
+    def final_df(result):
+        root, table = result["stages"]["decontam"].rsplit("/", 1)
+        return SnapshotTable(root, table).read(spark).drop("part")
+
+    a, b = final_df(clean), final_df(resumed)
+    assert a.count() == b.count() == clean["rows"] == resumed["rows"]
+    assert a.exceptAll(b).count() == 0
+
+    # semantic spot checks: dups collapsed, cap enforced, probe leak out
+    ids = {r.doc_id for r in b.collect()}
+    dup_ids = [i for i in range(120) if i % 10 == 7]
+    assert len(ids & set(dup_ids)) == 1, "one canonical exact-dup kept"
+    per_src = b.groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in per_src)
+    assert not any(i % 25 == 3 for i in ids), "contaminated docs dropped"
+
+    # lineage covers every stage × bucket exactly once after resume
+    lroot, ltable = resumed["lineage"].rsplit("/", 1)
+    lin = SnapshotTable(lroot, ltable).read(spark)
+    per = lin.groupBy("stage", "part").count().collect()
+    assert {(r.stage, r.part) for r in per} == {
+        (s, p) for s in ("dedup", "quota", "decontam") for p in range(4)}
+    assert all(r["count"] == 1 for r in per), "no double-committed bucket"
+    # the crashed run and the resume run both appear in lineage
+    assert lin.select("run_id").distinct().count() == 2
+
+
 def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
     """Iceberg-semantics subset: VERSION AS OF over the snapshot log,
     and orphan-batch vacuum that never touches committed data."""

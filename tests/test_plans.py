@@ -145,6 +145,33 @@ def test_ann_lsh_broadcasts_queries(spark):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_ivf_auto_impl_stays_jvm(spark):
+    """Small coarse quantizers (q_ann_ivf's 8 centroids × 64 dims =
+    512 FMAs/row) must resolve impl='auto' to the pure-JVM Column fold:
+    the IVF search plan contains NO Python evaluation node. Pins out
+    the round-2 regression where Arrow assignment paid two bridge round
+    trips for a matmul too small to amortize them."""
+    import random
+
+    from jsi_spark.ops.similarity import (
+        ivf_topk, make_queries, use_arrow_impl)
+
+    # the shared engine/oracle heuristic itself
+    assert not use_arrow_impl(8, 64)        # ann_ivf -> column
+    assert use_arrow_impl(8 * 8, 64)        # ann_lsh -> arrow
+    assert use_arrow_impl(16 * 9, 64)       # emb_near_dups -> arrow
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(8)])
+        .alias("embedding"))
+    rng = random.Random(3)
+    cents = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+    plan = plan_of(ivf_topk(emb, make_queries(emb, [0, 1]), cents, k=3))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan   # probe side broadcast
+
+
 def test_duplicate_clusters_shuffles_labels_only(spark):
     from jsi_spark.ops.dedup import duplicate_clusters
 
