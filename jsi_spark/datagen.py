@@ -122,3 +122,118 @@ def reference_spans(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "pos", F.col("span.kind").alias("kind"),
              F.col("span.text").alias("text"),
              F.col("span.media_ref").alias("media_ref"))
+
+
+# -- documents/embeddings-shaped corpora for dedup/ANN scale stress -----------------
+
+# mirrors the driver testdata's documents.parquet vocabulary style
+DOC_VOCAB = [
+    "spark", "line", "column", "order", "small", "sort", "fast", "value",
+    "scan", "batch", "part", "query", "agg", "table", "hash", "vector",
+    "stream", "filter", "big", "merge", "group", "join", "key", "slow",
+    "customer", "the", "a", "index", "page", "cache", "block", "shard",
+]
+
+# per-mille duplicate-structure rates (documents)
+RATE_DOC_TEMPLATE = 5      # hot template cluster: ONE shared text
+RATE_DOC_EXACT = 10        # exact duplicate of one of 199 base texts
+RATE_DOC_NEAR = 20         # near duplicate: base text, one word swapped
+
+# per-mille duplicate-structure rates (embeddings)
+RATE_VEC_IDENTICAL = 3     # hot cluster: ONE shared vector
+RATE_VEC_NEAR = 22         # near duplicate: base vector, one coord bumped
+
+
+def gen_text_corpus(spark: SparkSession, n_docs: int, seed: int = 7,
+                    partitions: int | None = None) -> DataFrame:
+    """documents.parquet-shaped corpus (doc_id, text, lang, source,
+    n_chars) with CONTROLLED duplicate structure, generated entirely
+    JVM-side (xxhash64 pseudo-randomness — identical values at any
+    parallelism). Duplicate classes, chosen per row:
+
+    - template cluster (~0.5%): every row shares ONE text — the
+      boilerplate hot bucket the LSH ``max_bucket_size`` cap must drop
+      (a 100 TB corpus always has one: license headers, nav chrome).
+    - exact dups (~1%): text of one of 199 base docs, verbatim.
+    - near dups (~2%): base text of one of 211 docs with a single word
+      substituted at a doc-specific position (high Jaccard, not 1.0).
+    - unique (rest): fresh word sequence per doc, 8-96 words.
+    """
+    df = spark.range(0, n_docs, numPartitions=partitions) \
+        if partitions else spark.range(n_docs)
+    i = F.col("id")
+    vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+    nv = len(DOC_VOCAB)
+
+    u = _u([i], "dupclass", seed)
+    t_exact = RATE_DOC_TEMPLATE + RATE_DOC_EXACT
+    t_near = t_exact + RATE_DOC_NEAR
+    content_seed = (
+        F.when(u < RATE_DOC_TEMPLATE, F.lit(-1).cast("long"))
+        .when(u < t_exact, F.pmod(i, F.lit(199)))
+        .when(u < t_near, F.pmod(i, F.lit(211)) + 1000)
+        .otherwise(i + 100_000))
+    is_near = (u >= t_exact) & (u < t_near)
+
+    n_words = (F.pmod(F.xxhash64(content_seed, F.lit("nw"), F.lit(seed)),
+                      F.lit(89)) + 8)
+    # 1-based substitution position for the near-dup variant; the swap
+    # word derives from the DOC id so variants differ from each other
+    swap_pos = F.pmod(F.xxhash64(i, F.lit("pos"), F.lit(seed)), n_words) + 1
+    swap_word = F.element_at(
+        vocab, (F.pmod(F.xxhash64(i, F.lit("vw"), F.lit(seed)),
+                       F.lit(nv)) + 1).cast("int"))
+    words = F.transform(
+        F.sequence(F.lit(1), n_words.cast("int")),
+        lambda j: F.when(is_near & (j == swap_pos), swap_word).otherwise(
+            F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(content_seed, j, F.lit(seed)),
+                        F.lit(nv)) + 1).cast("int"))))
+    text = F.array_join(words, " ")
+
+    u_lang = _u([i], "lang", seed)
+    lang = (F.when(u_lang < 400, F.lit("en"))
+            .when(u_lang < 550, F.lit("de"))
+            .when(u_lang < 700, F.lit("zh"))
+            .when(u_lang < 850, F.lit("fr"))
+            .otherwise(F.lit("es")))
+    return df.select(
+        i.alias("doc_id"), text.alias("text"), lang.alias("lang"),
+        F.format_string("src%d", F.pmod(i, F.lit(20))).alias("source"),
+        F.length(text).cast("long").alias("n_chars"))
+
+
+def gen_vec_corpus(spark: SparkSession, n_vecs: int, dim: int = 64,
+                   seed: int = 11,
+                   partitions: int | None = None) -> DataFrame:
+    """embeddings.parquet-shaped corpus (vec_id, embedding:array<float>,
+    label) with controlled near-duplicate structure, JVM-side:
+
+    - identical cluster (~0.3%): ONE shared vector (cos = 1.0) — the
+      hot sign-LSH bucket the ``max_bucket_size`` cap must drop.
+    - near dups (~2.2%): base vector of one of 499 rows with a single
+      coordinate bumped +0.05 (cos ≈ 0.999).
+    - unique (rest): iid uniform[-1, 1) coords from xxhash64.
+    """
+    df = spark.range(0, n_vecs, numPartitions=partitions) \
+        if partitions else spark.range(n_vecs)
+    i = F.col("id")
+    u = _u([i], "vclass", seed)
+    t_near = RATE_VEC_IDENTICAL + RATE_VEC_NEAR
+    vec_seed = (
+        F.when(u < RATE_VEC_IDENTICAL, F.lit(-1).cast("long"))
+        .when(u < t_near, F.pmod(i, F.lit(499)))
+        .otherwise(i + 100_000))
+    is_near = (u >= RATE_VEC_IDENTICAL) & (u < t_near)
+    bump_coord = F.pmod(F.xxhash64(i, F.lit("bc"), F.lit(seed)),
+                        F.lit(dim))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(vec_seed, j, F.lit(seed)), F.lit(2001))
+            .cast("double") / 1000.0 - 1.0
+            + F.when(is_near & (j == bump_coord), F.lit(0.05))
+            .otherwise(F.lit(0.0))).cast("float"))
+    return df.select(i.alias("vec_id"), emb.alias("embedding"),
+                     F.pmod(i, F.lit(10)).cast("int").alias("label"))

@@ -138,18 +138,14 @@ def minhash_signature(shingles: Column, num_perm: int = 64,
 # Arrow wins only when the per-batch math is BLAS-shaped (see
 # similarity.lsh_buckets_arrow) or trivially wide bit ops (see
 # simhash_from_hashes_arrow); keep minhash JVM-side.
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
-                        content_col: str = "text", num_perm: int = 64,
-                        bands: int = 16, shingle_n: int = 3,
-                        max_bucket_size: int | None = 200) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b) that collide in at
-    least one LSH band. rows/perm per band = num_perm // bands.
-
-    ``max_bucket_size`` caps bucket width before the self-join: a bucket
-    holding B docs yields B²/2 pairs, so one template cluster (boiler-
-    plate shared by millions of docs) would otherwise dominate the
-    output quadratically. Docs in over-cap buckets are duplicates *as a
-    group* by construction — handle them as clusters, not pairs."""
+def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
+                         content_col: str = "text", num_perm: int = 64,
+                         bands: int = 16,
+                         shingle_n: int = 3) -> DataFrame:
+    """(_id, band, bucket) LSH band assignments — the projection the
+    candidate self-join runs on, persisted (3 longs × bands per doc).
+    Public so scale tooling can census bucket sizes with the exact
+    production bucketing (tools/scale_stress.py)."""
     rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
@@ -170,7 +166,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # the self-join would otherwise recompute the full shingle→minhash
     # pipeline for BOTH sides; persist the (id, band, bucket) projection
     # (tiny: 3 longs × bands per doc) so each side is a cache scan
-    banded = _persist(banded)
+    return _persist(banded)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        content_col: str = "text", num_perm: int = 64,
+                        bands: int = 16, shingle_n: int = 3,
+                        max_bucket_size: int | None = 200) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) that collide in at
+    least one LSH band. rows/perm per band = num_perm // bands.
+
+    ``max_bucket_size`` caps bucket width before the self-join: a bucket
+    holding B docs yields B²/2 pairs, so one template cluster (boiler-
+    plate shared by millions of docs) would otherwise dominate the
+    output quadratically. Docs in over-cap buckets are duplicates *as a
+    group* by construction — handle them as clusters, not pairs."""
+    banded = minhash_band_buckets(df, id_col, content_col, num_perm,
+                                  bands, shingle_n)
     if max_bucket_size is not None:
         ok_buckets = (banded.groupBy("band", "bucket")
                       .agg(F.count(F.lit(1)).alias("_n"))

@@ -234,6 +234,30 @@ def near_dup_planes(n_vecs: int) -> int:
     return max(4, math.ceil(math.log2(max(n_vecs / 32.0, 2.0))))
 
 
+def lsh_bucket_assignments(emb: DataFrame, tables: list,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           impl: str = "auto") -> DataFrame:
+    """(_id, _tbl, _bucket) sign-LSH assignments over L tables — the
+    longs-only projection the near-dup self-join runs on, persisted via
+    ops.dedup's session cache (callers release with
+    ``jsi_spark.ops.dedup.release_caches()``). Public so scale tooling
+    can census bucket sizes with the exact production bucketing."""
+    from jsi_spark.ops.dedup import _persist
+
+    impl = _resolve_impl(impl, len(tables) * len(tables[0]),
+                         len(tables[0][0]))
+    if impl == "arrow":
+        bucket_udf = lsh_buckets_arrow(tables)
+        buckets = lambda v: bucket_udf(v)                # noqa: E731
+    else:
+        buckets = lambda v: F.array(*[lsh_bucket(v, t)   # noqa: E731
+                                      for t in tables])
+    return _persist(emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("_tbl", "_bucket")))
+
+
 def embedding_near_duplicates(emb: DataFrame, planes: list,
                               threshold: float = 0.4,
                               id_col: str = "vec_id",
@@ -262,20 +286,10 @@ def embedding_near_duplicates(emb: DataFrame, planes: list,
     (bench.py and tests/test_plans.py do; the frame is (long,int,long)
     rows, ~20 B/vector/table, recompute-safe if evicted).
     """
-    from jsi_spark.ops.dedup import _persist
-
     tables = [planes] if isinstance(planes[0][0], (int, float)) else planes
     impl = _resolve_impl(impl, len(tables) * len(tables[0]),
                          len(tables[0][0]))
-    if impl == "arrow":
-        bucket_udf = lsh_buckets_arrow(tables)
-        buckets = lambda v: bucket_udf(v)                # noqa: E731
-    else:
-        buckets = lambda v: F.array(*[lsh_bucket(v, t)   # noqa: E731
-                                      for t in tables])
-    eb = _persist(emb.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("_tbl", "_bucket")))
+    eb = lsh_bucket_assignments(emb, tables, id_col, vec_col, impl)
     if max_bucket_size is not None:
         ok = (eb.groupBy("_tbl", "_bucket")
               .agg(F.count(F.lit(1)).alias("_n"))

@@ -540,3 +540,60 @@ def test_multipleof_huge_value_fractional_divisor(spark):
         df = spark.createDataFrame([(v,)], st)
         got = df.select(tv.valid_column().alias("ok")).collect()[0].ok
         assert got is want, (v, q, got)
+
+
+def test_gen_corpora_deterministic_and_structured(spark):
+    """gen_text_corpus / gen_vec_corpus (the scale-stress inputs):
+    values independent of partitioning, planted duplicate structure
+    present — a hot template/identical cluster plus exact+near dup
+    classes — so the bucket caps have something real to defuse."""
+    from pyspark.sql import functions as F
+
+    from jsi_spark.datagen import gen_text_corpus, gen_vec_corpus
+
+    d1 = gen_text_corpus(spark, 1500, partitions=2)
+    d2 = gen_text_corpus(spark, 1500, partitions=11)
+    assert d1.exceptAll(d2).count() == 0 and d2.exceptAll(d1).count() == 0
+    assert d1.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,source:string,"
+        "n_chars:bigint>")
+    # hot template cluster: one text shared by ~0.5% of rows
+    top = (d1.groupBy("text").count().orderBy(F.desc("count"))
+           .first())["count"]
+    assert top >= 4
+    # near-dup class: pairs with high-but-not-1.0 token Jaccard exist
+    assert d1.count() - d1.select("text").distinct().count() >= top - 1
+
+    v1 = gen_vec_corpus(spark, 800, partitions=2)
+    v2 = gen_vec_corpus(spark, 800, partitions=7)
+    assert v1.exceptAll(v2).count() == 0
+    assert v1.schema.simpleString() == (
+        "struct<vec_id:bigint,embedding:array<float>,label:int>")
+    vtop = (v1.groupBy(F.col("embedding").cast("string")).count()
+            .orderBy(F.desc("count")).first())["count"]
+    assert vtop >= 2  # identical-vector cluster planted
+
+
+def test_bucket_assignment_helpers_match_pair_ops(spark, documents):
+    """The censused bucket frames (minhash_band_buckets /
+    lsh_bucket_assignments) are the SAME bucketing the candidate joins
+    run on: every candidate pair shares at least one censused bucket."""
+    from pyspark.sql import functions as F
+
+    from jsi_spark.ops.dedup import (
+        lsh_candidate_pairs, minhash_band_buckets, release_caches,
+    )
+
+    docs = documents.limit(300)
+    banded = minhash_band_buckets(docs)
+    pairs = lsh_candidate_pairs(docs, max_bucket_size=None)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    joined = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.bucket") == F.col("b.bucket"))
+                     & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b")).distinct())
+    assert pairs.exceptAll(joined).count() == 0
+    assert joined.exceptAll(pairs).count() == 0
+    release_caches()
