@@ -126,13 +126,20 @@ def reference_spans(docs: DataFrame) -> DataFrame:
 
 # -- documents/embeddings-shaped corpora for dedup/ANN scale stress -----------------
 
-# mirrors the driver testdata's documents.parquet vocabulary style
-DOC_VOCAB = [
+# base stems in the driver testdata's documents.parquet style; the
+# working vocabulary is stems × numeric suffixes (512 words): the
+# testdata's literal 31-word vocab makes every long doc's DISTINCT-word
+# set near-identical, so SimHash fingerprints collide pathologically
+# (54k candidate pairs in a 5k-doc corpus) — real web text has ≥1e5
+# vocab and docs are separable; 512 preserves that separation while
+# keeping shingles collidable for the planted near-dup class.
+DOC_STEMS = [
     "spark", "line", "column", "order", "small", "sort", "fast", "value",
     "scan", "batch", "part", "query", "agg", "table", "hash", "vector",
     "stream", "filter", "big", "merge", "group", "join", "key", "slow",
     "customer", "the", "a", "index", "page", "cache", "block", "shard",
 ]
+DOC_VOCAB = [f"{w}{i}" if i else w for i in range(16) for w in DOC_STEMS]
 
 # per-mille duplicate-structure rates (documents)
 RATE_DOC_TEMPLATE = 5      # hot template cluster: ONE shared text

@@ -34,7 +34,6 @@ bootstrap).
 from __future__ import annotations
 
 import json
-import os
 from functools import lru_cache
 
 from jsi_spark.compile.dialects import (
@@ -162,7 +161,11 @@ _EXTRA_SHAPES = {
 
 # -- official draft meta-schemas (verbatim json-schema.org documents) -------
 
-_OFFICIAL_DIR = os.path.join(os.path.dirname(__file__), "metaschemas")
+# resolved via importlib.resources, NOT __file__-relative open(): under
+# `spark-submit --py-files jsi_spark.zip` the package is zip-imported
+# and plain open() on a path inside the archive fails
+# (tests/test_spark_submit.py drives that deploy shape end-to-end)
+_METASCHEMA_PKG = "jsi_spark.schema"  # metaschemas/ data dir within
 
 # dialect name -> (root URI, relative file of the root document)
 OFFICIAL_ROOTS = {
@@ -186,9 +189,13 @@ def official_metaschema_documents() -> dict:
     roots plus 2020-12's seven vocabulary meta-schemas, which the root
     references via relative ``$ref``s in its ``allOf``)."""
 
+    from importlib import resources
+
     def load(rel):
-        with open(os.path.join(_OFFICIAL_DIR, rel)) as f:
-            return json.load(f)
+        node = resources.files(_METASCHEMA_PKG).joinpath("metaschemas")
+        for part in rel.split("/"):
+            node = node.joinpath(part)
+        return json.loads(node.read_text())
 
     docs = {uri: load(rel) for uri, rel in OFFICIAL_ROOTS.values()}
     for vocab in _2020_VOCABS:

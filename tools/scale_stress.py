@@ -102,6 +102,7 @@ def size_census(assign, keys, cap):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
+    ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--workdir",
                     default=os.environ.get("SPARK_GRAFT_STRESS_DIR",
                                            "/tmp/jsi_stress"))
@@ -115,15 +116,20 @@ def main():
         sf_dir = gen_dir(spark, args.workdir, scale)
         res: dict = {"docs": BASE_DOCS * scale, "vecs": BASE_VECS * scale}
 
-        # -- query timings + output rows (timed action = count) -------
+        # -- query timings + output rows (timed action = count; min of
+        # --repeat runs — the shared host shows multi-minute noise
+        # bursts of up to 5x, see BENCH/BASELINE.md) -------------------
         for name in QUERIES:
-            t0 = time.time()
-            rows = qfns[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            release_caches()
-            res[name] = {"sec": round(dt, 2), "rows": rows}
+            best, rows = None, None
+            for _ in range(args.repeat):
+                t0 = time.time()
+                rows = qfns[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                release_caches()
+                best = dt if best is None else min(best, dt)
+            res[name] = {"sec": round(best, 2), "rows": rows}
             print(json.dumps({"scale": scale, "query": name,
-                              "sec": round(dt, 2), "rows": rows}),
+                              "sec": round(best, 2), "rows": rows}),
                   flush=True)
 
         # -- bucket censuses (production bucketing, exact params) ------
