@@ -31,7 +31,8 @@ from jsi_spark.exec.verdicts import partition_verdicts
 from jsi_spark.functions.udfs import valid_json_udf, violations_json_udf
 from jsi_spark.io.tableio import parquet_num_rows
 from jsi_spark.ops.dedup import (
-    benchmark_overlap, duplicate_clusters, exact_duplicates,
+    benchmark_overlap, duplicate_clusters, duplicate_clusters_star,
+    exact_duplicates,
     minhash_near_duplicates, ngram_jaccard_pairs, simhash_candidates,
 )
 from jsi_spark.ops.dedup import _persist as _persist_op
@@ -463,6 +464,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via alternating large-star/small-star rounds
+    (O(log n) rounds on ANY graph vs label-prop's O(diameter) — the
+    variant for duplicate CHAINS; ops/dedup.duplicate_clusters_star).
+    Shares dedup_clusters' union-find golden oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return duplicate_clusters_star(pairs)
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return simhash_candidates(docs, id_col="doc_id", content_col="text") \
@@ -575,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "simhash_candidates": q_simhash_candidates,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,

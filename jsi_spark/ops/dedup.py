@@ -335,6 +335,86 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
+def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
+                            id_b: str = "id_b",
+                            max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id): connected components via alternating
+    large-star/small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public algorithm). Same output
+    contract as :func:`duplicate_clusters`.
+
+    Use WHEN component diameters are not small: label propagation is
+    O(diameter) rounds, star contraction is O(log n) rounds on ANY
+    graph — a duplicate CHAIN (a≈b≈c≈… from overlapping shingle edits)
+    of length 10^6 takes label-prop 10^6 rounds but star ~20. Each
+    round is one groupBy + one self-contribution union over (long,
+    long) edges; the edge set only shrinks toward the final star
+    forest, so per-round cost decreases.
+
+    large-star: every node hangs its LARGER neighbors onto its current
+    minimum (min over neighborhood ∪ self); small-star symmetrically
+    re-hangs the smaller-or-equal side. Both preserve connectivity;
+    alternation converges to per-component stars rooted at the
+    component minimum."""
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .filter(F.col("u") != F.col("v")))
+    nodes = (edges.select(F.col("u").alias("id"))
+             .union(edges.select(F.col("v").alias("id"))).distinct()
+             .localCheckpoint(eager=True))
+    # canonical undirected form (min, max); star rounds rewire it
+    edges = (edges.select(F.least("u", "v").alias("u"),
+                          F.greatest("u", "v").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+
+    def _round(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods as directed views: large-star groups by EVERY
+        # endpoint (bidirectional), small-star by the larger endpoint
+        if large:
+            d = e.union(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        else:
+            d = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        m = (d.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        nbrs = d.join(m, "u")
+        if large:
+            # hang strictly-larger neighbors onto the local minimum
+            out = (nbrs.filter(F.col("v") > F.col("u"))
+                   .select(F.col("m").alias("u"), F.col("v").alias("v")))
+        else:
+            # re-hang all smaller-side neighbors and self onto the min
+            out = (nbrs.select(F.col("m").alias("u"),
+                               F.col("v").alias("v"))
+                   .union(m.select(F.col("m").alias("u"),
+                                   F.col("u").alias("v"))))
+        return (out.filter(F.col("u") != F.col("v"))
+                .select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+                .distinct())
+
+    for i in range(max_iter):
+        new_edges = _round(_round(edges, large=True), large=False)
+        new_edges = new_edges.localCheckpoint(eager=True)
+        # converged when the (large ∘ small) round is a no-op: probe by
+        # symmetric difference count on the tiny (long, long) edge set
+        if (i % 2 == 1 or i == max_iter - 1) and \
+                new_edges.exceptAll(edges).isEmpty() and \
+                edges.exceptAll(new_edges).isEmpty():
+            edges = new_edges
+            break
+        edges = new_edges
+    # star forest: u = component min, v = member; singletons (nodes
+    # whose every edge contracted away) label themselves. The min-agg
+    # is a no-op at convergence (each member hangs off one root) and a
+    # safe partial answer if max_iter truncated the contraction.
+    labels = (edges.select(F.col("v").alias("id"),
+                           F.col("u").alias("cluster_id"))
+              .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")))
+    roots = (nodes.join(labels, "id", "left_anti")
+             .select("id", F.col("id").alias("cluster_id")))
+    return labels.union(roots)
+
+
 # -- SimHash -------------------------------------------------------------------------
 
 def simhash64(text: Column, seed: int = 7) -> Column:

@@ -424,6 +424,11 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
         "dedup_clusters": values_sql(
             union_find_clusters([(a, b) for a, b, _ in mh]),
             ["id", "cluster_id"], ["BIGINT", "BIGINT"]),
+        # star contraction computes the SAME components — one golden,
+        # two engine implementations (label-prop and large/small-star)
+        "dedup_clusters_star": values_sql(
+            union_find_clusters([(a, b) for a, b, _ in mh]),
+            ["id", "cluster_id"], ["BIGINT", "BIGINT"]),
         "simhash_candidates": values_sql(
             simhash_rows(docs), ["id_a", "id_b", "hamming"],
             ["BIGINT", "BIGINT", "INTEGER"]),

@@ -597,3 +597,42 @@ def test_bucket_assignment_helpers_match_pair_ops(spark, documents):
     assert pairs.exceptAll(joined).count() == 0
     assert joined.exceptAll(pairs).count() == 0
     release_caches()
+
+
+def test_duplicate_clusters_star_matches_union_find(spark):
+    """Alternating large-star/small-star CC: same contract as
+    duplicate_clusters, O(log n) rounds on ANY graph. Cases: the
+    label-prop fixture graph, a seeded random graph, and a 64-node
+    CHAIN whose diameter exceeds label-prop's default round budget —
+    the regime the star variant exists for."""
+    import random
+
+    from jsi_spark.ops.dedup import duplicate_clusters_star
+    from jsi_spark.oracles import union_find_clusters
+
+    fixture = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+               (20, 21), (5, 6), (6, 7), (7, 8), (8, 9)]
+    rng = random.Random(5)
+    rand = [(rng.randrange(100), rng.randrange(100)) for _ in range(150)]
+    rand = [(a, b) for a, b in rand if a != b]
+    chain = [(i, i + 1) for i in range(64)]
+    for edges in (fixture, rand, chain):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = sorted((r.id, r.cluster_id)
+                     for r in duplicate_clusters_star(df).collect())
+        assert got == union_find_clusters(edges)
+
+
+def test_duplicate_clusters_star_on_minhash_pairs(spark, documents):
+    """Star CC and label-prop CC agree on real near-dup pairs."""
+    from jsi_spark.ops.dedup import (
+        duplicate_clusters, duplicate_clusters_star,
+        minhash_near_duplicates, release_caches,
+    )
+
+    pairs = minhash_near_duplicates(documents, threshold=0.5) \
+        .select("id_a", "id_b").localCheckpoint(eager=True)
+    release_caches()
+    a = sorted(map(tuple, duplicate_clusters(pairs).collect()))
+    b = sorted(map(tuple, duplicate_clusters_star(pairs).collect()))
+    assert a == b
