@@ -529,13 +529,15 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF build + search. The (vec_id, double-vector) projection is
-    persisted across the quantizer's three corpus passes (seed sample,
-    Lloyd means, search assignment) — on a cluster this is the standard
-    cache-the-training-projection pattern. impl="auto" resolves to the
-    pure-JVM Column fold here (8 centroids × 64 dims = 512 FMAs/row is
-    far too small to amortize the Arrow bridge — see
-    ops/similarity.use_arrow_impl), so the whole query plan contains
+    """IVF build + search, two corpus passes total: a bounded
+    TakeOrdered sample feeds driver-side numpy quantizer training
+    (ops/similarity.train_quantizer — at 10^12 rows the quantizer
+    trains on a sample, never the corpus), then ONE full assignment
+    pass inside the search. The (vec_id, double-vector) projection is
+    persisted across the two. impl="auto" resolves the search
+    assignment to the pure-JVM Column fold here (8 centroids × 64 dims
+    = 512 FMAs/row is far too small to amortize the Arrow bridge — see
+    ops/similarity.use_arrow_impl), so the distributed plan contains
     ZERO Python (pinned by tests/test_plans.py)."""
     emb = _persist_op(_emb_double(spark, sf_dir))
     cents = ivf_centroids(emb, n_centroids=8)

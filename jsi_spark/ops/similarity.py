@@ -107,11 +107,13 @@ def lsh_tables(dim: int, n_planes: int = 8, n_tables: int = 8,
 
 
 def _lit_matrix(rows: list) -> Column:
-    """Driver-side constant matrix as a literal array<array<double>> —
-    one expression node instead of rows×dim unrolled literals (keeps
-    codegen size and task-binary size flat as the matrix grows)."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in row])
-                     for row in rows])
+    """Driver-side constant matrix as ONE literal array<array<double>>
+    expression. A single ``F.lit`` on the nested Python list is one
+    py4j round trip and one Literal node; the rows×dim unrolled
+    ``F.array(F.lit(...))`` form it replaces cost ~2 s of driver RPC
+    per 8×64 matrix and was the dominant wall cost of ann_ivf at
+    small scale (it is pure driver overhead at any scale)."""
+    return F.lit([[float(x) for x in row] for row in rows])
 
 
 def lsh_bucket(vec: Column, planes: list) -> Column:
@@ -322,29 +324,63 @@ def _assign(vec_col: str, centroids: list, impl: str) -> Column:
     return _nearest_centroid(F.col(vec_col), centroids)
 
 
+def train_quantizer(sample: list, n_centroids: int) -> list:
+    """Deterministic coarse-quantizer training over an in-memory sample
+    of (id, vector) rows: hash-ordered seeds + one Lloyd refinement
+    step, all numpy. Shared VERBATIM by the engine (``ivf_centroids``)
+    and the golden oracle (jsi_spark.oracles.ann_ivf_rows) so the float
+    association of the trained centroids can never drift between them.
+
+    Rules (order-independent given the same row set):
+    - rows are sorted by (xxhash64(id) % 997, id); seeds are the first
+      ``n_centroids`` vectors (same rule as rounds 1-2, which sorted
+      corpus-side).
+    - one Lloyd step: assign every sample vector to its nearest seed by
+      cosine (numpy GEMM, argmax keeps the FIRST max), then replace
+      each seed with the numpy mean of its members (empty cell keeps
+      its seed).
+    """
+    import numpy as np
+
+    from jsi_spark.functions.xxh64 import xxhash64
+
+    rows = sorted(sample, key=lambda r: (xxhash64(("long", r[0])) % 997,
+                                         r[0]))
+    cents = [list(v) for _, v in rows[:n_centroids]]
+    mat = np.asarray([v for _, v in rows], dtype=np.float64)
+    cmat = np.asarray(cents, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cell = np.argmax((mat @ cmat.T) / norms, axis=1)
+    refined = list(cents)
+    for c in range(len(cents)):
+        members = mat[cell == c]
+        if len(members):
+            refined[c] = [float(x) for x in members.mean(axis=0)]
+    return refined
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id", impl: str = "auto") -> list:
-    """Coarse quantizer: deterministic hash-sampled seeds + one Lloyd
-    refinement step (all as DataFrame aggregations). Callers running
-    the build AND a search should persist ``emb`` first — the corpus is
-    scanned here for seeds and once more for the Lloyd means."""
-    seeds = (emb.withColumn("_h", F.pmod(F.xxhash64(id_col), 997))
-             .orderBy("_h", id_col).limit(n_centroids)
-             .select(vec_col).collect())
-    cents = [list(r[0]) for r in seeds]
-    dim = len(cents[0])
-    impl = _resolve_impl(impl, n_centroids, dim)
-    assigned = emb.withColumn("_c", _assign(vec_col, cents, impl))
-    means = (assigned.groupBy("_c")
-             .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}")
-                    for i in range(dim)],
-                  F.count(F.lit(1)).alias("n"))
-             .collect())
-    refined = list(cents)
-    for r in means:
-        refined[r["_c"]] = [r[f"m{i}"] for i in range(dim)]
-    return refined
+                  id_col: str = "vec_id",
+                  train_cap: int = 4096, impl: str = "auto") -> list:
+    """Coarse quantizer trained on a bounded deterministic sample: the
+    ``train_cap`` corpus rows with the smallest (xxhash64(id), id) —
+    ONE TakeOrdered pass (map-side per-partition top-K, tiny shuffle,
+    partition-layout-independent) — then driver-side numpy seeds + one
+    Lloyd step (``train_quantizer``). This is the textbook IVF build:
+    at 10^12 rows the quantizer trains on a sample, never the corpus —
+    the round-2 design ran TWO full-corpus passes (seed TakeOrdered +
+    a 64-wide Lloyd mean aggregate) and its per-query codegen alone
+    cost ~4 s. The search pass in ``ivf_topk`` is the only remaining
+    full-corpus scan. When the corpus is smaller than ``train_cap``
+    (all test/bench scales) the sample IS the corpus, so results are
+    independent of the cap."""
+    rows = (emb.withColumn("_h", F.xxhash64(id_col))
+            .orderBy("_h", id_col).limit(train_cap)
+            .select(id_col, vec_col).collect())
+    return train_quantizer([(r[0], list(r[1])) for r in rows],
+                           n_centroids)
 
 
 def nearest_centroid_arrow(centroids: list):
@@ -408,7 +444,15 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
         for _, i in sorted(sims, reverse=True)[:nprobe]:
             probe.append((q["query_id"], i))
     spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probe, "query_id long, _c int")
+    # literal inline() frame, not createDataFrame: a Python-list frame
+    # scans an ExistingRDD (an extra Python-backed stage per job that
+    # costs ~2 s of the broadcast build); a literal array of structs
+    # folds to a JVM LocalRelation — the probe list is nprobe×|queries|
+    # rows, driver-side by construction
+    probe_df = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(int(qid)).cast("long").alias("query_id"),
+                 F.lit(int(c)).cast("int").alias("_c"))
+        for qid, c in probe])))
     cand = (cells.join(F.broadcast(
         probe_df.join(queries, "query_id")), "_c"))
     sim = cosine(F.col(vec_col), F.col("qvec"))

@@ -306,19 +306,21 @@ def emb_near_dup_rows(emb, threshold=0.4, n_planes=None, n_tables=16,
 def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
                  nprobe=3):
     vecs = dict(emb)
-    # deterministic hash-sampled seeds (pmod(xxhash64(vec_id), 997), id)
-    order = sorted(emb, key=lambda r: (xxhash64(("long", r[0])) % 997,
-                                       r[0]))
-    cents = [list(v) for _, v in order[:n_centroids]]
+    # quantizer training is the ENGINE'S OWN driver-side function
+    # (ops/similarity.train_quantizer: hash-ordered seeds + one numpy
+    # Lloyd step over the bounded sample, which at oracle scale is the
+    # whole corpus) — shared verbatim so centroid float association
+    # cannot drift between engine and golden.
+    from jsi_spark.ops.similarity import train_quantizer, use_arrow_impl
 
-    # engine cell assignment (impl="auto") resolves via the SAME
+    refined = train_quantizer([(i, list(v)) for i, v in emb], n_centroids)
+
+    # engine SEARCH cell assignment (impl="auto") resolves via the SAME
     # heuristic: Arrow numpy matmul + argmax when the centroid matrix
     # amortizes the bridge, else the JVM Column fold (sequential dot,
     # strict-> update = first max wins). Mirror whichever the engine
     # picks so the float association is identical.
-    from jsi_spark.ops.similarity import use_arrow_impl
-
-    dim = len(cents[0])
+    dim = len(refined[0])
     if use_arrow_impl(n_centroids, dim):
         mat = np.asarray([v for _, v in emb], dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -339,15 +341,6 @@ def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
                         best_i, best_s = j, s
                 out.append(best_i)
             return out
-
-    # one Lloyd step: per-cluster component means (empty keeps seed)
-    members = defaultdict(list)
-    for (vec_id, v), c in zip(emb, assign_all(cents)):
-        members[int(c)].append(v)
-    refined = list(cents)
-    for c, vs in members.items():
-        dim = len(vs[0])
-        refined[c] = [sum(v[i] for v in vs) / len(vs) for i in range(dim)]
 
     cells = defaultdict(list)
     for (vec_id, v), c in zip(emb, assign_all(refined)):
