@@ -636,3 +636,43 @@ def test_duplicate_clusters_star_on_minhash_pairs(spark, documents):
     a = sorted(map(tuple, duplicate_clusters(pairs).collect()))
     b = sorted(map(tuple, duplicate_clusters_star(pairs).collect()))
     assert a == b
+
+
+def test_train_quantizer_deterministic_and_order_free():
+    """Quantizer training (shared engine/oracle routine) is a pure
+    function of the sample SET: permuting input row order changes
+    nothing (rows are re-sorted by the hash rule), seeds come from the
+    hash order, one Lloyd step moves centroids to member means, and an
+    empty cell keeps its seed."""
+    import random as _r
+
+    import numpy as np
+
+    from jsi_spark.functions.xxh64 import xxhash64
+    from jsi_spark.ops.similarity import train_quantizer
+
+    rng = _r.Random(7)
+    sample = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    cents = train_quantizer(sample, n_centroids=4)
+    shuffled = list(sample)
+    rng.shuffle(shuffled)
+    assert train_quantizer(shuffled, n_centroids=4) == cents
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+
+    # refined centroids are member means under first-max cosine argmax
+    order = sorted(sample, key=lambda r: (xxhash64(("long", r[0])) % 997,
+                                          r[0]))
+    seeds = np.asarray([v for _, v in order[:4]])
+    mat = np.asarray([v for _, v in order], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    cell = np.argmax((mat @ seeds.T) / norms, axis=1)
+    for c in range(4):
+        members = mat[cell == c]
+        want = members.mean(axis=0) if len(members) else seeds[c]
+        assert cents[c] == [float(x) for x in want]
+
+    # duplicate vectors: all land in one cell; empty cells keep seeds
+    flat = [(i, [1.0] * 8) for i in range(10)]
+    cents2 = train_quantizer(flat, n_centroids=3)
+    assert cents2[0] == [1.0] * 8
+    assert cents2[1] == [1.0] * 8 and cents2[2] == [1.0] * 8
