@@ -114,8 +114,24 @@ def compile_regex(pattern: str):
     e.g. pattern "^\\d+$" against "٣". Explicit classes ([0-9],
     [\\u00C0-\\u00FF], unicode literals) are unaffected by the flag.
     The official suite skips the residual divergences the flag can't
-    align (the reference's own skip list, suite_test.rb:137-160)."""
-    return re.compile(pattern, re.ASCII)
+    align (the reference's own skip list, suite_test.rb:137-160).
+
+    Unicode property escapes (\\p{L} / \\P{N} ...): Python's ``re``
+    rejects them outright, but ECMA-262 (u-flag), Java (the typed
+    path's ``rlike``) and Ruby (the reference) all accept them as
+    Unicode category classes — a schema using them must not crash the
+    generic path while the typed path validates it fine. Fall back to
+    the ``regex`` module (default Unicode flags) for exactly those
+    patterns. Known residual corner: a pattern mixing \\p{...} WITH
+    predefined classes gets unicode \\d/\\w/\\s on the fallback path
+    (official-suite skip-list territory, same bucket as above)."""
+    try:
+        return re.compile(pattern, re.ASCII)
+    except re.error:
+        if r"\p" in pattern or r"\P" in pattern:
+            import regex as _regex
+            return _regex.compile(pattern)
+        raise
 
 
 def is_multiple_of(v, q) -> bool:
