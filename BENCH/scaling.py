@@ -38,8 +38,9 @@ wd = {workdir!r}
 # in multi-minute bursts (single samples off by up to 3x); min is the
 # robust estimator of achievable throughput
 full_pass(spark, {n_docs}, workdir=wd)
-secs = min(full_pass(spark, {n_docs}, workdir=wd) for _ in range(3))
-print("SCALING_RESULT " + json.dumps({{"cores": {cores}, "secs": secs}}))
+times = [full_pass(spark, {n_docs}, workdir=wd) for _ in range(3)]
+print("SCALING_RESULT " + json.dumps(
+    {{"cores": {cores}, "secs": min(times), "all": times}}))
 """
 
 WORKDIR = "/tmp/jsi_scaling_corpus"
@@ -119,6 +120,12 @@ def main():
         "4N-executor cluster does not re-plan 4x), so the 24M-doc run is the",
         "faithful analog of the 10^12-doc regime, where the parallel fraction",
         "dominates by ~10^5x. Measured at 24M: efficiency 0.951.",
+        "",
+        "Raw per-pass walls (s), post-warmup, min is reported:",
+        f"local[{n}]: " + ", ".join(f"{t:.1f}" for t in
+                                    r_n.get("all", [])),
+        f"local[{4*n}]: " + ", ".join(f"{t:.1f}" for t in
+                                      r_4n.get("all", [])),
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
