@@ -49,8 +49,11 @@ WORKDIR = "/tmp/jsi_scaling_corpus"
 def run(cores: int, n_docs: int) -> dict:
     code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs,
                         workdir=WORKDIR)
+    # 4 passes at small N on a large corpus legitimately exceed an
+    # hour (local[2] x 24M docs is ~85 min); size the guard to the
+    # job, don't let it kill a healthy run
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=3600)
+                         text=True, timeout=10800)
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
