@@ -109,7 +109,7 @@ DRAFT202012 = Dialect(
         | {"$defs", "$anchor", "$dynamicRef", "$dynamicAnchor", "$vocabulary",
            "prefixItems", "dependentSchemas", "dependentRequired",
            "minContains", "maxContains", "unevaluatedItems",
-           "unevaluatedProperties", "deprecated"}
+           "unevaluatedProperties", "deprecated", "contentSchema"}
     ),
     defs_keywords=("$defs", "definitions"),
 )
@@ -158,6 +158,11 @@ SUBSCHEMA_SHAPE = {
     "properties": "m", "patternProperties": "m", "definitions": "m",
     "$defs": "m", "dependentSchemas": "m",
     "dependencies": "dep",
+    # annotation-only, but a real subschema location: anchors/$ids declared
+    # inside it are resolvable (reference:
+    # lib/jsi/schema/elements/content_schema.rb:5-16, wired only in the
+    # 2020-12 dialect at draft202012.rb:247 — gated in iter_subschemas)
+    "contentSchema": "s",
 }
 
 
@@ -166,6 +171,8 @@ def iter_subschemas(schema: dict, dialect: Dialect):
     for kw, shape in SUBSCHEMA_SHAPE.items():
         if kw not in schema:
             continue
+        if kw == "contentSchema" and kw not in dialect.keywords:
+            continue  # only the 2020-12 dialect treats it as a subschema
         v = schema[kw]
         if shape == "s" or (shape == "sl" and isinstance(v, (dict, bool))):
             if isinstance(v, (dict, bool)):
