@@ -46,6 +46,12 @@ class SchemaCompileError(ValueError):
     pass
 
 
+class UnsupportedPatternError(SchemaCompileError):
+    """A schema regex needs a module not available in this environment
+    (see compile_regex: \\p{...} escapes need the third-party `regex`
+    module on driver and executors)."""
+
+
 # --------------------------------------------------------------------------
 # JSON value semantics (reference: lib/jsi/schema/elements/type.rb:8-16
 # duck-typed type tests; numeric equality 1 == 1.0 per Ruby ==, booleans
@@ -129,7 +135,22 @@ def compile_regex(pattern: str):
         return re.compile(pattern, re.ASCII)
     except re.error:
         if r"\p" in pattern or r"\P" in pattern:
-            import regex as _regex
+            # OPTIONAL third-party dependency: the fallback needs the
+            # `regex` module on the DRIVER *and* every executor Python
+            # (compiled patterns ship inside the generic-path UDF
+            # closure; the --py-files zip carries only jsi_spark).
+            # Degrade at compile time with a named error rather than a
+            # ModuleNotFoundError mid-job on an executor.
+            try:
+                import regex as _regex
+            except ImportError as exc:
+                raise UnsupportedPatternError(
+                    f"pattern {pattern!r} uses unicode property escapes "
+                    "(\\p{...}), which Python's re rejects; install the "
+                    "third-party 'regex' module on the driver and all "
+                    "executor Pythons to validate it on the generic "
+                    "path (the typed path handles it natively via Java "
+                    "rlike)") from exc
             return _regex.compile(pattern)
         raise
 

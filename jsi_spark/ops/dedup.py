@@ -489,18 +489,14 @@ def simhash_from_hashes_arrow():
     return pandas_udf(_sh, "bigint")
 
 
-def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       content_col: str = "text", chunks: int = 4,
-                       max_bucket_size: int | None = 200,
-                       impl: str = "arrow") -> DataFrame:
-    """Near-dup candidates sharing ≥1 of 4 16-bit SimHash chunks,
-    with exact Hamming distance attached.
-
-    ``max_bucket_size`` caps (chunk, val) bucket width before the
-    self-join, exactly as in :func:`lsh_candidate_pairs`: one hot 16-bit
-    chunk value (short/empty docs, template clusters) otherwise yields
-    B²/2 pairs. Docs in over-cap buckets are near-duplicates *as a
-    group* by construction — handle them as clusters, not pairs."""
+def simhash_chunk_buckets(df: DataFrame, id_col: str = "doc_id",
+                          content_col: str = "text", chunks: int = 4,
+                          impl: str = "arrow") -> DataFrame:
+    """(_id, _h, chunk, val) banded SimHash frame: one row per doc per
+    16-bit chunk of its 64-bit fingerprint, persisted. The blocking
+    frame for :func:`simhash_candidates`'s self-join, exposed so
+    tools/scale_stress.py can census the (chunk, val) bucket sizes with
+    the exact production banding."""
     width = 64 // chunks
     if impl == "arrow":
         ensure_py_files(df.sparkSession)
@@ -521,7 +517,24 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
         .alias("cb")).select("_id", "_h", "cb.chunk", "cb.val")
     # persist the tiny fingerprint projection: the self-join must not
     # recompute the 64-bit majority-vote expression for both sides
-    banded = _persist(banded)
+    return _persist(banded)
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       content_col: str = "text", chunks: int = 4,
+                       max_bucket_size: int | None = 200,
+                       impl: str = "arrow") -> DataFrame:
+    """Near-dup candidates sharing ≥1 of 4 16-bit SimHash chunks,
+    with exact Hamming distance attached.
+
+    ``max_bucket_size`` caps (chunk, val) bucket width before the
+    self-join, exactly as in :func:`lsh_candidate_pairs`: one hot 16-bit
+    chunk value (short/empty docs, template clusters) otherwise yields
+    B²/2 pairs. Docs in over-cap buckets are near-duplicates *as a
+    group* by construction — handle them as clusters, not pairs."""
+    banded = simhash_chunk_buckets(df, id_col=id_col,
+                                   content_col=content_col,
+                                   chunks=chunks, impl=impl)
     if max_bucket_size is not None:
         ok_buckets = (banded.groupBy("chunk", "val")
                       .agg(F.count(F.lit(1)).alias("_n"))

@@ -107,12 +107,14 @@ def lsh_tables(dim: int, n_planes: int = 8, n_tables: int = 8,
 
 
 def _lit_matrix(rows: list) -> Column:
-    """Driver-side constant matrix as ONE literal array<array<double>>
-    expression. A single ``F.lit`` on the nested Python list is one
-    py4j round trip and one Literal node; the rows×dim unrolled
-    ``F.array(F.lit(...))`` form it replaces cost ~2 s of driver RPC
-    per 8×64 matrix and was the dominant wall cost of ann_ivf at
-    small scale (it is pure driver overhead at any scale)."""
+    """Driver-side constant matrix as a literal array<array<double>>
+    column. NOTE: on classic PySpark 4.x ``F.lit(list)`` expands
+    recursively to ``array(*[lit(x) ...])`` — i.e. the same unrolled
+    expression tree as building it by hand — so this helper is about
+    one construction point (and Connect compatibility, where lit of a
+    list IS a single Literal message), not a measured RPC saving; the
+    round-3 ann_ivf speedup came from the sample-trained quantizer and
+    the single JVM-only assignment pass, not from this."""
     return F.lit([[float(x) for x in row] for row in rows])
 
 
@@ -444,6 +446,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
         for _, i in sorted(sims, reverse=True)[:nprobe]:
             probe.append((q["query_id"], i))
     spark = emb.sparkSession
+    if not probe:
+        # F.inline(F.array()) cannot infer an element type; an empty
+        # query set means an empty (typed) result by definition
+        return (emb.select(F.lit(0).cast("long").alias("query_id"),
+                           F.col(id_col).alias("vec_id"),
+                           F.lit(0).alias("rank"),
+                           F.lit(0.0).alias("sim"))
+                .limit(0))
     # literal inline() frame, not createDataFrame: a Python-list frame
     # scans an ExistingRDD (an extra Python-backed stage per job that
     # costs ~2 s of the broadcast build); a literal array of structs

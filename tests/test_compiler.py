@@ -166,3 +166,23 @@ def test_remote_ref_relative_resolution():
         {"$ref": "http://localhost:1234/nested/outer.json"}, registry=reg)
     assert cs.is_valid("ok")
     assert not cs.is_valid(1)
+
+
+def test_unicode_property_escape_without_regex_module(monkeypatch):
+    """\\p{...} patterns degrade to a named compile-time error when the
+    optional third-party `regex` module is absent (it must be on driver
+    AND executor Pythons; see compile_regex)."""
+    import builtins
+    from jsi_spark.compile import compiler
+
+    real_import = builtins.__import__
+
+    def no_regex(name, *a, **k):
+        if name == "regex":
+            raise ImportError("regex unavailable")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_regex)
+    with pytest.raises(compiler.UnsupportedPatternError) as ei:
+        compiler.compile_regex(r"^\p{L}+$")
+    assert "regex" in str(ei.value)

@@ -676,3 +676,16 @@ def test_train_quantizer_deterministic_and_order_free():
     cents2 = train_quantizer(flat, n_centroids=3)
     assert cents2[0] == [1.0] * 8
     assert cents2[1] == [1.0] * 8 and cents2[2] == [1.0] * 8
+
+
+def test_ivf_topk_empty_queries(spark):
+    """An empty query frame returns an empty, correctly-typed result
+    (the literal inline() probe frame cannot express a zero-row array)."""
+    from jsi_spark.ops.similarity import ivf_topk
+    emb = spark.createDataFrame([(1, [0.1] * 4), (2, [0.2] * 4)],
+                                "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([], "query_id long, qvec array<double>")
+    out = ivf_topk(emb, q, [[0.1] * 4, [0.9] * 4], k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "vec_id", "rank", "sim"]

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from jsi_spark.datagen import gen_text_corpus, gen_vec_corpus  # noqa: E402
 from jsi_spark.io.tableio import parquet_num_rows  # noqa: E402
-from jsi_spark.ops.dedup import minhash_band_buckets, release_caches  # noqa: E402
+from jsi_spark.ops.dedup import (  # noqa: E402
+    minhash_band_buckets, release_caches, simhash_chunk_buckets,
+)
 from jsi_spark.ops.similarity import (  # noqa: E402
     lsh_bucket_assignments, lsh_tables, near_dup_planes,
 )
@@ -144,6 +146,10 @@ def main():
         mh = minhash_band_buckets(docs)
         res["census"]["minhash"] = size_census(mh, ["band", "bucket"],
                                                MINHASH_CAP)
+        release_caches()
+        sh = simhash_chunk_buckets(docs)
+        res["census"]["simhash"] = size_census(sh, ["chunk", "val"],
+                                               SIMHASH_CAP)
         release_caches()
         n_vecs = parquet_num_rows(os.path.join(sf_dir,
                                                "embeddings.parquet"))
