@@ -2,12 +2,15 @@
 metadata, with decode / feature-extraction / resize / frame-sample as
 Arrow-batched stages over ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container): ``decode="fake"`` produces a deterministic feature
-vector from the bytes' hash so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested;
-``decode=real`` raises NotImplementedError at the exact point a codec
-(PIL/librosa/ffmpeg) would plug in.
+``decode="fake"`` produces a deterministic feature vector from the
+bytes' hash so the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested regardless of
+environment. ``decode="real"`` decodes PNG payloads with the pure-
+stdlib codec in :mod:`jsi_spark.ops.png` (zlib scanlines + the 5
+predictor filters) and derives features from the actual pixels;
+non-PNG payloads (audio/video containers, JPEG, ...) still raise
+NotImplementedError at the exact point PIL/librosa/ffmpeg would plug
+in — those codecs are not stdlib-implementable.
 """
 
 from __future__ import annotations
@@ -58,11 +61,64 @@ def synth_media(media_dim: DataFrame) -> DataFrame:
         .otherwise(F.lit(None).cast("int")).alias("duration_ms"))
 
 
+def synth_png_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
+    """Attach REAL (small, deterministic) PNG payloads to the image rows
+    of the media_dim table: pixels are a SHA-256 counter stream seeded
+    by media_ref (jsi_spark.ops.png.synth_pixels), encoded through the
+    stdlib codec. An Arrow mapInPandas stage, since PNG encoding is
+    Python-side; payloads are a few hundred bytes each."""
+    from jsi_spark.ops import png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                w, h = png.synth_dims(ref, max_side)
+                payload = png.encode_png(png.synth_pixels(ref, w, h),
+                                         w, h, color_type=2)
+                rows.append((ref, payload, w, h))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "width", "height"])
+            out["media_kind"] = "image"
+            out["duration_ms"] = pd.array([None] * len(out),
+                                          dtype="Int32")
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    imgs = media_dim.filter(F.col("media_kind") == "image") \
+        .select("media_ref")
+    return imgs.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM):
     """Deterministic stand-in for a real decoder: dim floats derived
     from a cryptographic hash of the payload."""
     h = hashlib.sha256(payload or b"").digest()
     return [((h[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
+
+
+def _real_decode_features(payload: bytes):
+    """Decode the payload with the stdlib PNG codec and compute the 16
+    pixel-statistics features. Per-payload Python is the nature of
+    codecs (PIL is, too) — the batching above this stays Arrow."""
+    from jsi_spark.ops import png
+    if not png.is_png(payload):
+        raise NotImplementedError(
+            "decode='real' covers PNG (stdlib zlib); other formats "
+            "need PIL/librosa/ffmpeg — plug the codec in here")
+    w, h, ch, px = png.decode_png(bytes(payload))
+    if ch != 3:
+        # promote gray / strip alpha to RGB for uniform stats
+        rgb = bytearray(w * h * 3)
+        for p in range(w * h):
+            if ch == 1:
+                rgb[p * 3:p * 3 + 3] = px[p:p + 1] * 3
+            elif ch == 2:
+                rgb[p * 3:p * 3 + 3] = px[p * 2:p * 2 + 1] * 3
+            else:  # RGBA
+                rgb[p * 3:p * 3 + 3] = px[p * 4:p * 4 + 3]
+        px = bytes(rgb)
+    return [float(x) for x in png.pixel_stats(px, w, h)]
 
 
 def extract_features(media: DataFrame, frame_sample_ms: int = 1000,
@@ -71,14 +127,14 @@ def extract_features(media: DataFrame, frame_sample_ms: int = 1000,
     a pandas DataFrame; the loop below is per-batch vectorizable work,
     NOT a row-at-a-time Python UDF boundary (one serialization per
     Arrow batch)."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decoding requires PIL/librosa/ffmpeg — not "
-            "available in this container; plug the codec in here")
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    decoder = _real_decode_features if decode == "real" \
+        else _fake_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_fake_decode_features)
+            feats = pdf["payload"].map(decoder)
             n_frames = (
                 (pdf["duration_ms"].fillna(0) // frame_sample_ms)
                 .clip(lower=0).astype("int32") + 1

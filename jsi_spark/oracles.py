@@ -376,6 +376,30 @@ def media_feature_rows(n_media=30, frame_sample_ms=1000, dim=16):
     return rows
 
 
+def media_png_rows(n_media=30, max_side=16):
+    """Golden for media_png_real: pixel statistics computed DIRECTLY on
+    the deterministic synthetic pixels — the engine round-trips the same
+    pixels through the stdlib PNG encoder + decoder before computing
+    stats, so any codec defect (filter math, stride, channel order,
+    CRC) diverges here. Shared constructors (synth_dims/synth_pixels/
+    pixel_stats) are payload/feature *definitions*, same category as the
+    ANN plane constructors; the codec itself is not shared. Values are
+    float32-quantized before rounding because the engine materializes
+    features as array<float>."""
+    import numpy as np
+
+    from jsi_spark.ops.png import pixel_stats, synth_dims, synth_pixels
+    rows = []
+    for i in range(0, n_media, 3):   # media_kind 'image' ⇔ i % 3 == 0
+        ref = f"m{i}"
+        w, h = synth_dims(ref, max_side)
+        st = pixel_stats(synth_pixels(ref, w, h), w, h)
+        q = [float(np.float32(x)) for x in st]
+        rows.append((ref, _round6(q[0]), _round6(q[1]), _round6(q[2]),
+                     _round6(q[6]), _round6(q[14])))
+    return rows
+
+
 # -- VALUES-SQL rendering ------------------------------------------------------
 
 def _lit(v) -> str:
@@ -438,4 +462,10 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             media_feature_rows(), ["media_ref", "media_kind", "n_frames",
                                    "dim"],
             ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER"]),
+        "media_png_real": values_sql(
+            media_png_rows(),
+            ["media_ref", "mean_r", "mean_g", "mean_b", "lum_h0",
+             "aspect"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
+             "DOUBLE"]),
     }
