@@ -52,6 +52,27 @@ class TypedCompileError(ValueError):
     generic Arrow-UDF path instead."""
 
 
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _guard_bignum(v, keyword: str) -> None:
+    """Raise TypedCompileError if a schema constant (possibly composite)
+    contains an integer outside int64 — ``F.lit`` would throw an opaque
+    py4j NumberFormatException deep in plan construction otherwise."""
+    if isinstance(v, bool):
+        return
+    if isinstance(v, int) and not _I64_MIN <= v <= _I64_MAX:
+        raise TypedCompileError(
+            f"{keyword} constant {v} exceeds int64; bignum schema "
+            "constants are generic-path only")
+    if isinstance(v, list):
+        for x in v:
+            _guard_bignum(x, keyword)
+    elif isinstance(v, dict):
+        for x in v.values():
+            _guard_bignum(x, keyword)
+
+
 _UNSUPPORTED = frozenset()
 
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -298,6 +319,16 @@ class TypedValidator:
 
     def _assertions(self, node: SchemaNode, ctx: _Ctx, checks):
         kw, dt, c = node.kw, ctx.dtype, ctx.col
+
+        # JVM literals are int64/double; a schema constant outside int64
+        # (official-suite "bignum" family) cannot be expressed in a typed
+        # plan — decline at compile time (the generic path evaluates
+        # arbitrary-precision Python ints natively)
+        for _k in ("multipleOf", "maximum", "minimum",
+                   "exclusiveMaximum", "exclusiveMinimum",
+                   "enum", "const"):
+            if _k in kw:
+                _guard_bignum(node.value.get(_k), _k)
 
         if "type" in kw:
             ok = self._type_ok(kw["type"], dt, c, node)

@@ -246,12 +246,62 @@ def _compiled_metaschema(dialect_name: str):
                           dialect=DRAFT202012, validate_schema=False)
 
 
+def _set_subschema(container: dict, path: tuple, value) -> None:
+    """Replace the subschema at an iter_subschemas path (1 or 2 tokens;
+    the second indexes a list by stringified int or a map by key)."""
+    if len(path) == 1:
+        container[path[0]] = value
+    else:
+        holder = container[path[0]]
+        key = int(path[1]) if isinstance(holder, list) else path[1]
+        holder[key] = value
+
+
+def _extract_foreign_resources(doc, dialect: Dialect):
+    """Split out embedded resources that declare a DIFFERENT dialect
+    ($schema + their own id keyword — the same identification the
+    registry walk uses): each is governed by its own meta-schema, so
+    the parent document is validated with those subtrees replaced by
+    ``{}`` (valid at any schema location in every draft) and each
+    subtree is checked separately against its own dialect."""
+    import copy
+
+    from jsi_spark.compile.dialects import iter_subschemas
+
+    doc = copy.deepcopy(doc)
+    found: list = []
+
+    def walk(node: dict, d: Dialect) -> None:
+        for path, sub in list(iter_subschemas(node, d)):
+            if not isinstance(sub, dict):
+                continue
+            sd = detect_dialect(sub, d) if "$schema" in sub else d
+            if sd is not d:
+                idv = sub.get(sd.id_keyword)
+                if isinstance(idv, str) and not idv.startswith("#"):
+                    found.append((sub, sd))
+                    _set_subschema(node, path, {})
+                    continue
+            walk(sub, sd)
+
+    if isinstance(doc, dict):
+        walk(doc, dialect)
+    return doc, found
+
+
 def check_schema_document(schema, dialect: Dialect | None = None) -> None:
     """Validate ``schema`` (dict/bool) against its dialect's generated
     meta-schema; raise :class:`SchemaDocumentError` with the leaf
-    keyword-level errors on failure."""
+    keyword-level errors on failure. Embedded resources declaring a
+    different ``$schema`` are validated against THEIR dialect's
+    meta-schema (cross-draft documents: a draft-04 resource embedded in
+    a 2020-12 document may use boolean exclusiveMaximum, and vice
+    versa)."""
     if dialect is None:
         dialect = detect_dialect(schema)
-    result = _compiled_metaschema(dialect.name).validate(schema)
+    pruned, embedded = _extract_foreign_resources(schema, dialect)
+    result = _compiled_metaschema(dialect.name).validate(pruned)
     if not result.valid:
         raise SchemaDocumentError(dialect, result.leaf_errors())
+    for sub, sub_dialect in embedded:
+        check_schema_document(sub, sub_dialect)

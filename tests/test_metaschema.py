@@ -137,7 +137,9 @@ def test_generated_and_official_agree_on_fixture_corpus():
     must say valid)."""
     from suite_fixtures import SUITE
 
-    from jsi_spark.schema.metaschema import _compiled_metaschema
+    from jsi_spark.schema.metaschema import (
+        _compiled_metaschema, _extract_foreign_resources,
+    )
 
     n = 0
     for group in SUITE:
@@ -145,9 +147,17 @@ def test_generated_and_official_agree_on_fixture_corpus():
         if not isinstance(schema, (dict, bool)):
             continue
         dialect = detect_dialect(schema)
-        official = official_metaschema(dialect.name)
-        generated = _compiled_metaschema(dialect.name)
-        o, g = official.is_valid(schema), generated.is_valid(schema)
-        assert o and g, (group["description"], dialect.name, o, g)
+        # cross-draft documents: each embedded foreign resource is
+        # governed by ITS metaschema (same split check_schema_document
+        # applies); validate each piece per its own dialect
+        pieces = [(schema, dialect)]
+        if isinstance(schema, dict):
+            pruned, embedded = _extract_foreign_resources(schema, dialect)
+            pieces = [(pruned, dialect)] + embedded
+        for doc, d in pieces:
+            official = official_metaschema(d.name)
+            generated = _compiled_metaschema(d.name)
+            o, g = official.is_valid(doc), generated.is_valid(doc)
+            assert o and g, (group["description"], d.name, o, g)
         n += 1
     assert n > 150  # the corpus is supposed to be big

@@ -26,6 +26,8 @@ def infer_type(v) -> T.DataType:
     if isinstance(v, bool):
         return T.BooleanType()
     if isinstance(v, int):
+        if not -(1 << 63) <= v <= (1 << 63) - 1:
+            raise Unrepresentable("integer beyond int64 (bignum)")
         return T.LongType()
     if isinstance(v, float):
         return T.DoubleType()
