@@ -37,7 +37,7 @@ from jsi_spark.ops.dedup import (
 )
 from jsi_spark.ops.dedup import _persist as _persist_op
 from jsi_spark.ops.multimodal import (
-    extract_features, synth_media, synth_png_media,
+    extract_features, synth_media, synth_png_media, synth_wav_media,
 )
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
@@ -597,6 +597,25 @@ def q_media_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("aspect"))
 
 
+def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio counterpart of media_png_real: deterministic 16-bit PCM
+    WAV payloads round-tripped through the stdlib wave codec; the
+    oracle computes the same statistics codec-free."""
+    ensure_py_files(spark)
+    media = synth_wav_media(_media_dim(spark))
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_ref",
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .alias("rms"),
+        F.round(F.element_at("features", 2).cast("double"), 6)
+        .alias("peak"),
+        F.round(F.element_at("features", 4).cast("double"), 6)
+        .alias("zcr"),
+        F.round(F.element_at("features", 15).cast("double"), 6)
+        .alias("dur_s"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full interleaved-docs keyword validation at sf0.001 —
     per-partition verdicts (part, docs, passed, failed, pass)."""
@@ -640,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
+        "media_wav_real": q_media_wav_real,
     }
 
 

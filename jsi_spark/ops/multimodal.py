@@ -90,6 +90,35 @@ def synth_png_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
     return imgs.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_wav_media(media_dim: DataFrame,
+                    sample_rate: int = 16000) -> DataFrame:
+    """Attach REAL (short, deterministic) 16-bit PCM WAV payloads to
+    the audio rows of the media_dim table — the audio counterpart of
+    :func:`synth_png_media`."""
+    from jsi_spark.ops import wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                dur = wav.synth_duration_ms(ref)
+                n = sample_rate * dur // 1000
+                payload = wav.encode_wav(wav.synth_samples(ref, n),
+                                         sample_rate)
+                rows.append((ref, payload, dur))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "duration_ms"])
+            out["media_kind"] = "audio"
+            out["width"] = pd.array([None] * len(out), dtype="Int32")
+            out["height"] = pd.array([None] * len(out), dtype="Int32")
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    auds = media_dim.filter(F.col("media_kind") == "audio") \
+        .select("media_ref")
+    return auds.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM):
     """Deterministic stand-in for a real decoder: dim floats derived
     from a cryptographic hash of the payload."""
@@ -98,14 +127,20 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM):
 
 
 def _real_decode_features(payload: bytes):
-    """Decode the payload with the stdlib PNG codec and compute the 16
-    pixel-statistics features. Per-payload Python is the nature of
-    codecs (PIL is, too) — the batching above this stays Arrow."""
-    from jsi_spark.ops import png
+    """Decode the payload with a stdlib codec, dispatched on magic
+    bytes — PNG (zlib scanlines) and 16-bit PCM WAV (wave module) —
+    and compute 16 statistics features. Per-payload Python is the
+    nature of codecs (PIL is, too) — the batching above this stays
+    Arrow."""
+    from jsi_spark.ops import png, wav
+    if wav.is_wav(payload):
+        rate, ch, samples = wav.decode_wav(bytes(payload))
+        return [float(x) for x in wav.audio_stats(samples, rate, ch)]
     if not png.is_png(payload):
         raise NotImplementedError(
-            "decode='real' covers PNG (stdlib zlib); other formats "
-            "need PIL/librosa/ffmpeg — plug the codec in here")
+            "decode='real' covers PNG (stdlib zlib) and PCM WAV "
+            "(stdlib wave); other formats need PIL/librosa/ffmpeg — "
+            "plug the codec in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:
         # promote gray / strip alpha to RGB for uniform stats

@@ -400,6 +400,27 @@ def media_png_rows(n_media=30, max_side=16):
     return rows
 
 
+def media_wav_rows(n_media=30, sample_rate=16000):
+    """Golden for media_wav_real: audio statistics computed DIRECTLY on
+    the deterministic synthetic samples — the engine round-trips them
+    through the stdlib WAV encoder + decoder first (same independence
+    argument as media_png_rows)."""
+    import numpy as np
+
+    from jsi_spark.ops.wav import (
+        audio_stats, synth_duration_ms, synth_samples,
+    )
+    rows = []
+    for i in range(1, n_media, 3):   # media_kind 'audio' ⇔ i % 3 == 1
+        ref = f"m{i}"
+        n = sample_rate * synth_duration_ms(ref) // 1000
+        st = audio_stats(synth_samples(ref, n), sample_rate)
+        q = [float(np.float32(x)) for x in st]
+        rows.append((ref, _round6(q[0]), _round6(q[1]), _round6(q[3]),
+                     _round6(q[14])))
+    return rows
+
+
 # -- VALUES-SQL rendering ------------------------------------------------------
 
 def _lit(v) -> str:
@@ -468,4 +489,8 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
              "aspect"],
             ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
              "DOUBLE"]),
+        "media_wav_real": values_sql(
+            media_wav_rows(),
+            ["media_ref", "rms", "peak", "zcr", "dur_s"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"]),
     }
