@@ -597,6 +597,25 @@ def q_media_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("aspect"))
 
 
+def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize: synthetic PNGs decoded, nearest-neighbor resampled
+    to max_side=8, re-encoded, then decoded AGAIN for statistics — the
+    oracle resamples the source pixels codec-free, so this round-trips
+    the codec twice and the resample kernel once."""
+    ensure_py_files(spark)
+    from jsi_spark.ops.multimodal import resize_images
+    resized = resize_images(synth_png_media(_media_dim(spark)),
+                            max_side=8, decode="real")
+    feats = extract_features(resized, decode="real")
+    return (feats.join(resized.select("media_ref", "width", "height"),
+                       "media_ref")
+            .select("media_ref", "width", "height",
+                    F.round(F.element_at("features", 1).cast("double"), 6)
+                    .alias("mean_r"),
+                    F.round(F.element_at("features", 7).cast("double"), 6)
+                    .alias("lum_h0")))
+
+
 def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio counterpart of media_png_real: deterministic 16-bit PCM
     WAV payloads round-tripped through the stdlib wave codec; the
@@ -660,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
         "media_wav_real": q_media_wav_real,
+        "media_resize_real": q_media_resize_real,
     }
 
 

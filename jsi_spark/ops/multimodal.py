@@ -184,9 +184,48 @@ def extract_features(media: DataFrame, frame_sample_ms: int = 1000,
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
-def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stub: recomputes target dimensions (aspect-preserving) as
-    Column math; payload re-encoding is where a real codec would go."""
+def resize_images(media: DataFrame, max_side: int = 256,
+                  decode: str = "fake") -> DataFrame:
+    """Aspect-preserving shrink-only resize.
+
+    ``decode="fake"`` (default): metadata-only — target dimensions as
+    pure Column math, payload untouched (the planning/bookkeeping half
+    of the operator, format-agnostic). ``decode="real"``: PNG payloads
+    are decoded (stdlib codec), nearest-neighbor resampled, re-encoded;
+    rows come back in MEDIA_SCHEMA with the new dimensions. Non-PNG
+    payloads raise NotImplementedError at the codec plug point."""
+    if decode == "real":
+        from jsi_spark.ops import png
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for ref, kind, payload in zip(pdf["media_ref"],
+                                              pdf["media_kind"],
+                                              pdf["payload"]):
+                    if not png.is_png(payload):
+                        raise NotImplementedError(
+                            "resize decode='real' covers PNG; other "
+                            "formats need PIL — plug the codec in here")
+                    w, h, ch, px = png.decode_png(bytes(payload))
+                    tw, th = png.target_dims(w, h, max_side)
+                    out = png.encode_png(
+                        png.resample_nearest(px, w, h, tw, th, ch),
+                        tw, th,
+                        color_type={1: 0, 3: 2, 2: 4, 4: 6}[ch])
+                    rows.append((ref, kind, out, tw, th))
+                out_pdf = pd.DataFrame(
+                    rows, columns=["media_ref", "media_kind", "payload",
+                                   "width", "height"])
+                out_pdf["duration_ms"] = pd.array([None] * len(out_pdf),
+                                                  dtype="Int32")
+                yield out_pdf[["media_ref", "media_kind", "payload",
+                               "width", "height", "duration_ms"]]
+
+        imgs = media.filter(F.col("media_kind") == "image")
+        return imgs.mapInPandas(run, MEDIA_SCHEMA)
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     scale = F.least(
         F.lit(1.0),
         F.lit(max_side) / F.greatest(F.col("width"), F.col("height"))

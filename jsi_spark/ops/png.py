@@ -196,6 +196,30 @@ def synth_pixels(media_ref: str, width: int, height: int,
     return bytes(out[:need])
 
 
+def target_dims(width: int, height: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving shrink-only target dims — the Python mirror of
+    resize_images' Column math (least(1, max_side/greatest(w,h)), ceil),
+    same IEEE-double op order so metadata and payload paths agree."""
+    import math
+    scale = min(1.0, max_side / float(max(width, height)))
+    return math.ceil(width * scale), math.ceil(height * scale)
+
+
+def resample_nearest(pixels: bytes, width: int, height: int,
+                     tw: int, th: int, channels: int = 3) -> bytes:
+    """Nearest-neighbor resample (floor source mapping sx = tx*w//tw —
+    the standard integer-exact kernel, deterministic across
+    implementations)."""
+    out = bytearray(tw * th * channels)
+    for ty in range(th):
+        row = (ty * height // th) * width * channels
+        for tx in range(tw):
+            si = row + (tx * width // tw) * channels
+            oi = (ty * tw + tx) * channels
+            out[oi:oi + channels] = pixels[si:si + channels]
+    return bytes(out)
+
+
 def pixel_stats(pixels: bytes, width: int, height: int,
                 channels: int = 3) -> list[float]:
     """16 deterministic features from raw RGB bytes, defined on exact

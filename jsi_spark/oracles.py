@@ -400,6 +400,28 @@ def media_png_rows(n_media=30, max_side=16):
     return rows
 
 
+def media_resize_rows(n_media=30, max_side=8, src_max_side=16):
+    """Golden for media_resize_real: nearest-neighbor resample + stats
+    computed directly on the source pixels (no codec), against the
+    engine's decode→resample→encode→decode chain."""
+    import numpy as np
+
+    from jsi_spark.ops.png import (
+        pixel_stats, resample_nearest, synth_dims, synth_pixels,
+        target_dims,
+    )
+    rows = []
+    for i in range(0, n_media, 3):   # media_kind 'image' ⇔ i % 3 == 0
+        ref = f"m{i}"
+        w, h = synth_dims(ref, src_max_side)
+        tw, th = target_dims(w, h, max_side)
+        px = resample_nearest(synth_pixels(ref, w, h), w, h, tw, th)
+        st = pixel_stats(px, tw, th)
+        q = [float(np.float32(x)) for x in st]
+        rows.append((ref, tw, th, _round6(q[0]), _round6(q[6])))
+    return rows
+
+
 def media_wav_rows(n_media=30, sample_rate=16000):
     """Golden for media_wav_real: audio statistics computed DIRECTLY on
     the deterministic synthetic samples — the engine round-trips them
@@ -493,4 +515,8 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             media_wav_rows(),
             ["media_ref", "rms", "peak", "zcr", "dur_s"],
             ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"]),
+        "media_resize_real": values_sql(
+            media_resize_rows(),
+            ["media_ref", "width", "height", "mean_r", "lum_h0"],
+            ["VARCHAR", "INTEGER", "INTEGER", "DOUBLE", "DOUBLE"]),
     }

@@ -273,8 +273,11 @@ def test_multimodal_plumbing(spark):
         assert max(r.target_width, r.target_height) <= 256
         assert r.target_width <= r.width and r.target_height <= r.height
 
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decode="real")
+    # synth_media payloads are hash bytes, not a supported codec format:
+    # decode="real" raises at the codec plug point (inside the UDF, so
+    # at action time, surfaced through Spark's PythonException)
+    with pytest.raises(Exception, match="plug the codec"):
+        extract_features(media, decode="real").collect()
 
 
 def test_simhash_bucket_cap_defuses_hot_cluster(spark):

@@ -122,3 +122,45 @@ def test_extract_features_real_distributed(spark):
         w, h = synth_dims(ref)
         golden = pixel_stats(synth_pixels(ref, w, h), w, h)
         assert feats == pytest.approx(golden, rel=1e-6)
+
+
+def test_target_dims_shrink_only():
+    from jsi_spark.ops.png import target_dims
+    assert target_dims(100, 50, 10) == (10, 5)
+    assert target_dims(5, 5, 10) == (5, 5), "never upscales"
+    assert target_dims(3, 9, 4) == (2, 4), "ceil keeps >= 1"
+
+
+def test_resample_nearest_kernel():
+    from jsi_spark.ops.png import resample_nearest
+    # 2x2 RGB quadrants down to 1x1 picks the top-left source pixel
+    px = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+    assert resample_nearest(px, 2, 2, 1, 1) == bytes([1, 1, 1])
+    # identity resample is a no-op
+    assert resample_nearest(px, 2, 2, 2, 2) == px
+    # 4x1 gray -> 2x1 picks columns 0 and 2
+    g = bytes([10, 20, 30, 40])
+    assert resample_nearest(g, 4, 1, 2, 1, channels=1) == bytes([10, 30])
+
+
+def test_resize_images_real_distributed(spark):
+    from jsi_spark.ops.multimodal import resize_images, synth_png_media
+    from jsi_spark.ops.png import (
+        decode_png, resample_nearest, synth_dims, synth_pixels,
+        target_dims,
+    )
+    from jsi_spark.session import ensure_py_files
+    ensure_py_files(spark)
+    dim = spark.createDataFrame(
+        [(f"m{i}", "image") for i in range(4)],
+        "media_ref string, media_kind string")
+    out = resize_images(synth_png_media(dim), max_side=8,
+                        decode="real").collect()
+    assert len(out) == 4
+    for r in out:
+        w, h = synth_dims(r.media_ref)
+        tw, th = target_dims(w, h, 8)
+        assert (r.width, r.height) == (tw, th)
+        golden = resample_nearest(synth_pixels(r.media_ref, w, h),
+                                  w, h, tw, th)
+        assert decode_png(bytes(r.payload)) == (tw, th, 3, golden)
