@@ -616,6 +616,38 @@ def q_media_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("lum_h0")))
 
 
+def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video counterpart of media_png_real: deterministic animated-GIF
+    payloads (stdlib LZW encoder), frame-sampled at a 100 ms cadence
+    (ops.multimodal.sample_frames), each sampled frame re-encoded as a
+    standalone PNG and fed through extract_features(decode='real') —
+    the full video → frames → image composition on real codecs. The
+    oracle (jsi_spark/oracles.py media_frames_rows) computes the same
+    sampled indices and pixel statistics codec-free."""
+    ensure_py_files(spark)
+    from jsi_spark.ops.multimodal import sample_frames, synth_gif_media
+    frames = sample_frames(synth_gif_media(_media_dim(spark)),
+                           every_ms=100)
+    # re-shape frame rows as single-image media rows, keeping frame
+    # identity in the ref, so the image feature path applies unchanged
+    as_media = frames.select(
+        F.concat_ws("#", "media_ref",
+                    F.col("frame_index").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_kind"), "payload", "width", "height",
+        F.lit(None).cast("int").alias("duration_ms"))
+    feats = extract_features(as_media, decode="real").select(
+        F.col("media_ref").alias("frame_key"),
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .alias("mean_r"),
+        F.round(F.element_at("features", 7).cast("double"), 6)
+        .alias("lum_h0"))
+    keyed = frames.select(
+        "media_ref", "frame_index", "t_ms", "width", "height",
+        F.concat_ws("#", "media_ref",
+                    F.col("frame_index").cast("string")).alias("frame_key"))
+    return keyed.join(feats, "frame_key").drop("frame_key")
+
+
 def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio counterpart of media_png_real: deterministic 16-bit PCM
     WAV payloads round-tripped through the stdlib wave codec; the
@@ -680,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_real": q_media_png_real,
         "media_wav_real": q_media_wav_real,
         "media_resize_real": q_media_resize_real,
+        "media_frames_real": q_media_frames_real,
     }
 
 

@@ -5,12 +5,14 @@ Arrow-batched stages over ``mapInPandas``.
 ``decode="fake"`` produces a deterministic feature vector from the
 bytes' hash so the Spark-side plumbing — schema, partitioning, UDF
 signature, Arrow batch shape — is real and tested regardless of
-environment. ``decode="real"`` decodes PNG payloads with the pure-
-stdlib codec in :mod:`jsi_spark.ops.png` (zlib scanlines + the 5
-predictor filters) and derives features from the actual pixels;
-non-PNG payloads (audio/video containers, JPEG, ...) still raise
-NotImplementedError at the exact point PIL/librosa/ffmpeg would plug
-in — those codecs are not stdlib-implementable.
+environment. ``decode="real"`` decodes payloads with the pure-stdlib
+codecs — PNG (:mod:`jsi_spark.ops.png`, zlib scanlines + the 5
+predictor filters), 16-bit PCM WAV (:mod:`jsi_spark.ops.wav`), and
+animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW) — and
+derives features from the actual pixels/samples/frames; other formats
+(JPEG, MP4, ...) still raise NotImplementedError at the exact point
+PIL/librosa/ffmpeg would plug in — those codecs are not
+stdlib-implementable.
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from jsi_spark.session import ensure_py_files
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType()),
@@ -85,6 +89,7 @@ def synth_png_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
             yield out[["media_ref", "media_kind", "payload",
                        "width", "height", "duration_ms"]]
 
+    ensure_py_files(media_dim.sparkSession)
     imgs = media_dim.filter(F.col("media_kind") == "image") \
         .select("media_ref")
     return imgs.mapInPandas(run, MEDIA_SCHEMA)
@@ -114,9 +119,100 @@ def synth_wav_media(media_dim: DataFrame,
             yield out[["media_ref", "media_kind", "payload",
                        "width", "height", "duration_ms"]]
 
+    ensure_py_files(media_dim.sparkSession)
     auds = media_dim.filter(F.col("media_kind") == "audio") \
         .select("media_ref")
     return auds.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_gif_media(media_dim: DataFrame, max_side: int = 12,
+                    max_frames: int = 8) -> DataFrame:
+    """Attach REAL (tiny, deterministic) animated-GIF payloads to the
+    video rows of the media_dim table — the multi-frame counterpart of
+    :func:`synth_png_media` (frame count, size, and per-frame delay all
+    derived from the ref; encoded through the stdlib LZW codec)."""
+    from jsi_spark.ops import gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                w, h, n_frames, delay = gif.synth_clip_params(
+                    ref, max_side, max_frames)
+                pal = gif.synth_gif_palette(ref)
+                frames = [(delay,
+                           gif.synth_frame_indexes(ref, i, w, h,
+                                                   len(pal) // 3))
+                          for i in range(n_frames)]
+                payload = gif.encode_gif(frames, w, h, pal)
+                rows.append((ref, payload, w, h, n_frames * delay))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "width", "height",
+                                              "duration_ms"])
+            out["media_kind"] = "video"
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    ensure_py_files(media_dim.sparkSession)
+    vids = media_dim.filter(F.col("media_kind") == "video") \
+        .select("media_ref")
+    return vids.mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("t_ms", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 100,
+                  decode: str = "real") -> DataFrame:
+    """Frame sampling over multi-frame payloads: decode each animated
+    GIF, keep the frame on screen at t = 0, every_ms, 2*every_ms, ...
+    (gif.sample_ticks — pure integer math shared with the oracle), and
+    re-encode each sampled frame as a standalone RGB PNG row. The output
+    rows compose with extract_features / resize_images (decode="real"),
+    i.e. video → frames → image pipeline on real codecs end-to-end.
+
+    One exploded row per sampled frame; Arrow-batched mapInPandas, no
+    per-row UDF boundary. At 100 TB the explode is the scale risk, not
+    the codec: every_ms bounds output rows per clip to duration/every_ms,
+    and the stage is embarrassingly parallel (no shuffle)."""
+    if decode != "real":
+        raise ValueError("sample_frames decodes actual frames; only "
+                         "decode='real' is meaningful")
+    from jsi_spark.ops import gif, png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if not gif.is_gif(payload):
+                    raise NotImplementedError(
+                        "sample_frames covers animated GIF (stdlib LZW); "
+                        "other containers need ffmpeg — plug the "
+                        "demuxer in here")
+                w, h, pal, frames = gif.decode_gif(bytes(payload))
+                delays = [d for d, _ in frames]
+                starts = [0]
+                for d in delays[:-1]:
+                    starts.append(starts[-1] + d)
+                for i in gif.sample_ticks(delays, every_ms):
+                    rgb = gif.expand_palette(frames[i][1], pal)
+                    rows.append((ref, i, starts[i],
+                                 png.encode_png(rgb, w, h, color_type=2),
+                                 w, h))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_index",
+                                              "t_ms", "payload",
+                                              "width", "height"])
+
+    ensure_py_files(media.sparkSession)
+    vids = media.select("media_ref", "payload")
+    return vids.mapInPandas(run, FRAME_SCHEMA)
 
 
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM):
@@ -128,19 +224,27 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM):
 
 def _real_decode_features(payload: bytes):
     """Decode the payload with a stdlib codec, dispatched on magic
-    bytes — PNG (zlib scanlines) and 16-bit PCM WAV (wave module) —
-    and compute 16 statistics features. Per-payload Python is the
+    bytes — PNG (zlib scanlines), 16-bit PCM WAV (wave module), and
+    animated GIF (LZW; first-frame clip stats) — and compute 16
+    statistics features. Per-payload Python is the
     nature of codecs (PIL is, too) — the batching above this stays
     Arrow."""
-    from jsi_spark.ops import png, wav
+    from jsi_spark.ops import gif, png, wav
     if wav.is_wav(payload):
         rate, ch, samples = wav.decode_wav(bytes(payload))
         return [float(x) for x in wav.audio_stats(samples, rate, ch)]
+    if gif.is_gif(payload):
+        # clip-level features: pixel stats of the first frame (frame-
+        # granular work goes through sample_frames, which explodes to
+        # per-frame PNG rows and composes with this same path)
+        w, h, pal, frames = gif.decode_gif(bytes(payload))
+        rgb = gif.expand_palette(frames[0][1], pal)
+        return [float(x) for x in png.pixel_stats(rgb, w, h)]
     if not png.is_png(payload):
         raise NotImplementedError(
-            "decode='real' covers PNG (stdlib zlib) and PCM WAV "
-            "(stdlib wave); other formats need PIL/librosa/ffmpeg — "
-            "plug the codec in here")
+            "decode='real' covers PNG (stdlib zlib), PCM WAV (stdlib "
+            "wave), and animated GIF (stdlib LZW); other formats need "
+            "PIL/librosa/ffmpeg — plug the codec in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:
         # promote gray / strip alpha to RGB for uniform stats
@@ -181,6 +285,7 @@ def extract_features(media: DataFrame, frame_sample_ms: int = 1000,
                 "n_frames": n_frames,
             })
 
+    ensure_py_files(media.sparkSession)
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
@@ -222,6 +327,7 @@ def resize_images(media: DataFrame, max_side: int = 256,
                 yield out_pdf[["media_ref", "media_kind", "payload",
                                "width", "height", "duration_ms"]]
 
+        ensure_py_files(media.sparkSession)
         imgs = media.filter(F.col("media_kind") == "image")
         return imgs.mapInPandas(run, MEDIA_SCHEMA)
     if decode != "fake":

@@ -422,6 +422,38 @@ def media_resize_rows(n_media=30, max_side=8, src_max_side=16):
     return rows
 
 
+def media_frames_rows(n_media=30, every_ms=100, max_side=12,
+                      max_frames=8):
+    """Golden for media_frames_real: frame sampling + pixel statistics
+    computed DIRECTLY on the deterministic synthetic indexed frames
+    (constructors + sample_ticks + palette expansion — all pure math,
+    no codec) — the engine round-trips the same frames through the
+    stdlib GIF LZW encoder + decoder and then the PNG codec before
+    computing stats, so any defect in either codec (LZW width growth,
+    dictionary reset, sub-block packing, delay math) diverges here."""
+    import numpy as np
+
+    from jsi_spark.ops.gif import (
+        expand_palette, sample_ticks, synth_clip_params,
+        synth_frame_indexes, synth_gif_palette,
+    )
+    from jsi_spark.ops.png import pixel_stats
+    rows = []
+    for i in range(2, n_media, 3):   # media_kind 'video' ⇔ i % 3 == 2
+        ref = f"m{i}"
+        w, h, n_frames, delay = synth_clip_params(ref, max_side,
+                                                  max_frames)
+        pal = synth_gif_palette(ref)
+        for j in sample_ticks([delay] * n_frames, every_ms):
+            rgb = expand_palette(
+                synth_frame_indexes(ref, j, w, h, len(pal) // 3), pal)
+            st = pixel_stats(rgb, w, h)
+            q = [float(np.float32(x)) for x in st]
+            rows.append((ref, j, j * delay, w, h,
+                         _round6(q[0]), _round6(q[6])))
+    return rows
+
+
 def media_wav_rows(n_media=30, sample_rate=16000):
     """Golden for media_wav_real: audio statistics computed DIRECTLY on
     the deterministic synthetic samples — the engine round-trips them
@@ -519,4 +551,10 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             media_resize_rows(),
             ["media_ref", "width", "height", "mean_r", "lum_h0"],
             ["VARCHAR", "INTEGER", "INTEGER", "DOUBLE", "DOUBLE"]),
+        "media_frames_real": values_sql(
+            media_frames_rows(),
+            ["media_ref", "frame_index", "t_ms", "width", "height",
+             "mean_r", "lum_h0"],
+            ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+             "DOUBLE", "DOUBLE"]),
     }
