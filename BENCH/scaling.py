@@ -10,12 +10,18 @@ are 16 physical cores with SMT, so 8→32 can never show 4x for ANY job.
 real cores against real cores, which is what N→4N *executors* means on
 an actual cluster (executors don't share a socket's second hyperthread).
 
-Runs bench.full_pass in two fresh subprocesses (a SparkSession's
-master can't change in-process) and writes BENCH/BASELINE.md. Each
-child also reports the JVM's accumulated GC time per measured pass
-(java.lang.management GarbageCollectorMXBeans — in local mode the
-executors share the driver JVM, so this captures all GC), giving a
-measured GC fraction at each parallelism level.
+Runs bench.full_pass in two long-lived subprocesses (a SparkSession's
+master can't change in-process) and writes BENCH/BASELINE.md. The two
+children stay warm for the whole measurement and the parent INTERLEAVES
+passes — GO to local[N], then GO to local[4N], repeated — so both
+levels sample the same host-noise windows (the shared sandbox host has
+multi-minute noise bursts; un-interleaved runs expose the slower level
+to ~3x more noise wall-clock, which round 3/4 snapshots showed can move
+the efficiency reading by ±0.1). Each child also reports the JVM's
+accumulated GC time per measured pass (java.lang.management
+GarbageCollectorMXBeans — in local mode the executors share the driver
+JVM, so this captures all GC), giving a measured GC fraction at each
+parallelism level.
 
 Usage:  python BENCH/scaling.py [n_docs]
         python BENCH/scaling.py --diagnose-small-n [n_docs]
@@ -48,36 +54,101 @@ def gc_ms():
     return sum(beans.get(i).getCollectionTime()
                for i in range(beans.size()))
 
-# warm-up run: JIT + codegen + page cache (untimed), then min of
-# {passes} measured runs — the sandbox host is shared, and observed
-# noise comes in multi-minute bursts (single samples off by up to 3x);
-# min is the robust estimator of achievable throughput
+# warm-up run: JIT + codegen + page cache (untimed), then one measured
+# pass per GO command from the parent — the parent interleaves the two
+# parallelism levels so both sample the same host-noise windows; min
+# over passes is the robust estimator of achievable throughput
 full_pass(spark, {n_docs}, workdir=wd)
-times, gcs = [], []
-for _ in range({passes}):
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "GO":
+        break
     g0 = gc_ms()
-    times.append(full_pass(spark, {n_docs}, workdir=wd))
-    gcs.append(gc_ms() - g0)
-print("SCALING_RESULT " + json.dumps(
-    {{"cores": {cores}, "secs": min(times), "all": times,
-      "gc_ms": gcs}}))
+    t = full_pass(spark, {n_docs}, workdir=wd)
+    print("PASS " + json.dumps({{"secs": t, "gc_ms": gc_ms() - g0}}),
+          flush=True)
 """
 
 WORKDIR = "/tmp/jsi_scaling_corpus"
 
 
+class _Child:
+    """A warmed long-lived bench JVM at one parallelism level,
+    commanded one pass at a time over stdin/stdout."""
+
+    def __init__(self, cores: int, n_docs: int):
+        code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs,
+                            workdir=WORKDIR)
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", code], text=True,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+        self.secs: list[float] = []
+        self.gc_ms: list[int] = []
+
+    def _readline_expect(self, prefix: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(
+                    f"local[{self.cores}] child exited "
+                    f"(rc={self.proc.poll()}) before '{prefix}'")
+            if line.startswith(prefix):
+                return line
+
+    def wait_ready(self):
+        self._readline_expect("READY")
+
+    def one_pass(self):
+        self.proc.stdin.write("GO\n")
+        self.proc.stdin.flush()
+        r = json.loads(self._readline_expect("PASS ")[len("PASS "):])
+        self.secs.append(r["secs"])
+        self.gc_ms.append(r["gc_ms"])
+
+    def result(self) -> dict:
+        return {"cores": self.cores, "secs": min(self.secs),
+                "all": self.secs, "gc_ms": self.gc_ms}
+
+    def close(self):
+        try:
+            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+
+
+def run_interleaved(n: int, n_docs: int, passes: int) -> tuple[dict, dict]:
+    """Warm both levels (sequentially — warmups must not contend), then
+    alternate single passes N, 4N, N, 4N, ... so the two levels see the
+    same noise windows. Only one child executes at any moment; the idle
+    child's JVM costs nothing."""
+    c_n = _Child(n, n_docs)
+    c_n.wait_ready()          # also generates the corpus if missing
+    c_4n = _Child(4 * n, n_docs)
+    c_4n.wait_ready()
+    try:
+        for _ in range(passes):
+            c_n.one_pass()
+            c_4n.one_pass()
+        return c_n.result(), c_4n.result()
+    finally:
+        c_n.close()
+        c_4n.close()
+
+
 def run(cores: int, n_docs: int, passes: int = 3) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs,
-                        workdir=WORKDIR, passes=passes)
-    # several passes at small N on a large corpus legitimately exceed
-    # an hour (local[2] x 24M docs is ~85 min); size the guard to the
-    # job, don't let it kill a healthy run
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=10800)
-    for line in out.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
-    raise RuntimeError(f"no result from cores={cores}:\n{out.stderr[-3000:]}")
+    """One level, un-interleaved (used by --diagnose-small-n)."""
+    child = _Child(cores, n_docs)
+    child.wait_ready()
+    try:
+        for _ in range(passes):
+            child.one_pass()
+        return child.result()
+    finally:
+        child.close()
 
 
 def _gc_pct(r: dict) -> float:
@@ -160,9 +231,11 @@ def headline_doc(n: int, n_docs: int, passes: int,
         f"deterministic {n_docs:,}-doc input (jsi_spark.datagen; values",
         "are independent of partitioning). Both levels read the SAME",
         "fixed-64-partition parquet corpus; each level does one untimed",
-        f"warm-up pass then reports the min of {passes} measured passes",
-        "(the sandbox host is shared — single samples showed up to 3x",
-        "noise).",
+        f"warm-up pass, then the {passes} measured passes per level are",
+        "INTERLEAVED (N, 4N, N, 4N, ... — two warm JVMs, one executing",
+        "at a time) so both levels sample the same host-noise windows;",
+        "the min per level is reported (the sandbox host is shared —",
+        "single samples showed up to 3x noise).",
         "",
         *n_choice_note(n),
         "",
@@ -254,9 +327,8 @@ def main():
         return
     n_docs = int(args[0]) if args else 24_000_000
     n = int(os.environ.get("SCALING_N", "4"))
-    passes = 3
-    r_n = run(n, n_docs, passes=passes)
-    r_4n = run(4 * n, n_docs, passes=passes)
+    passes = int(os.environ.get("SCALING_PASSES", "4"))
+    r_n, r_4n = run_interleaved(n, n_docs, passes)
     eff = (n_docs / r_4n["secs"]) / (n_docs / r_n["secs"]) / 4
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:

@@ -426,6 +426,51 @@ def q_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  cap=SOURCE_CAP)
 
 
+#: streaming quota: differs from SOURCE_CAP so the two caps can't mask
+#: each other in a mixed-up oracle
+STREAM_CAP = 15
+
+
+def q_stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING operator (applyInPandasWithState):
+    per-source admission quota whose running count survives across
+    micro-batches and restarts (jsi_spark.streaming.streaming_source_cap).
+    Driven here as one availableNow micro-batch over the documents
+    parquet, where the semantics reduce exactly to
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) <= cap —
+    the SQL oracle below; the cross-batch/restart state behavior is
+    pinned by tests/test_streaming.py."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from jsi_spark.streaming import streaming_source_cap
+    path = os.path.join(sf_dir, "documents.parquet")
+    # the file stream source requires a DIRECTORY; expose the single
+    # testdata file through a per-sf_dir symlink dir
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        "jsi_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:12])
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .select("doc_id", "source"))
+    name = "ssc_" + uuid.uuid4().hex[:12]
+    q = (streaming_source_cap(stream, source_col="source",
+                              id_col="doc_id", cap=STREAM_CAP)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(name)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ssc_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # dedup on leading-boilerplate prefix (first 5 tokens)
@@ -696,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "gopher_repetition": q_gopher_repetition,
         "source_cap": q_source_cap,
+        "stream_source_cap": q_stream_source_cap,
         "source_budget": q_source_budget,
         "dedup_exact": q_dedup_exact,
         "decontamination": q_decontamination,
@@ -1098,6 +1144,12 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(COUNT(*), {SOURCE_CAP}) AS n_kept,
                    (COUNT(*) > {SOURCE_CAP}) AS capped
             FROM documents GROUP BY source""",
+        "stream_source_cap": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= {STREAM_CAP}""",
         "dedup_exact": """
             WITH c AS (SELECT doc_id,
                               array_to_string(

@@ -85,6 +85,58 @@ def dedup_stream(docs: DataFrame, event_time_col: str,
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def streaming_source_cap(docs: DataFrame, source_col: str = "source",
+                         id_col: str = "doc_id",
+                         cap: int = 1000) -> DataFrame:
+    """Streaming per-source admission quota — the continuous-ingest
+    analog of :func:`jsi_spark.ops.sampling.stratified_cap` — as a
+    CUSTOM STATEFUL operator over ``applyInPandasWithState``: the
+    running admitted-count per source survives across micro-batches
+    (and across restarts, via the state store), so a source that filled
+    its quota an hour ago stays closed no matter how many batches
+    later its docs arrive.
+
+    Semantics: within each micro-batch a source's rows are admitted in
+    ascending ``id_col`` order (deterministic under replay of the same
+    batch); across batches, arrival order decides — first batch to
+    present rows wins quota, which is the point of a streaming cap.
+    For a single-batch run this reduces to ``row_number() OVER
+    (PARTITION BY source ORDER BY id) <= cap`` — the oracle the driver
+    gate checks.
+
+    Scale: state is ONE long per source key (millions of sources =
+    megabytes); the only shuffle is the groupBy on ``source_col``, the
+    same key the batch op shuffles on. A hot source concentrates its
+    micro-batch rows on one task, but the work is bounded by the batch
+    — and once the cap fills, each later batch reduces to a
+    concat+len+no-op per group. Project to (id, source) before calling
+    for a payload-free shuffle, then semi-join admitted ids back."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = docs.schema
+
+    def admit(key, pdfs, state):
+        admitted = state.get[0] if state.exists else 0
+        if admitted < cap:
+            # the group's micro-batch rows may span several Arrow
+            # chunks; admission order is defined over the WHOLE batch
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                pdf = (pd.concat(chunks, ignore_index=True)
+                       .sort_values(id_col, kind="mergesort",
+                                    ignore_index=True))
+                take = pdf.iloc[:cap - admitted]
+                admitted += len(take)
+                if len(take):
+                    yield take
+        state.update((admitted,))
+
+    return (docs.groupBy(source_col)
+            .applyInPandasWithState(admit, out_schema, "admitted long",
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def snapshot_batch_writer(table: SnapshotTable):
     """foreachBatch handler committing each micro-batch to ``table``
     with the batch id in snapshot meta — a replayed batch id (restart

@@ -130,6 +130,48 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
     assert len(t.manifest()["snapshots"]) == 2
 
 
+def test_streaming_source_cap_state_across_restarts(spark, tmp_path):
+    """The applyInPandasWithState quota: a source that filled part of
+    its cap in an earlier run admits only the remainder after a
+    RESTART (state recovered from the state store under the
+    checkpoint), and within a batch admission is by ascending doc_id."""
+    from jsi_spark.streaming import streaming_source_cap
+
+    src = str(tmp_path / "cap_src")
+    os.makedirs(src)
+    schema = "doc_id long, source string"
+    ckpt = str(tmp_path / "ckpt_cap")
+    out = SnapshotTable(str(tmp_path), "capped")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        writer = write_snapshot_sink(
+            streaming_source_cap(stream, source_col="source",
+                                 id_col="doc_id", cap=40), out, ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # wave 1: 30 docs per source (under cap — all admitted)
+    wave1 = [(i, f"s{i % 2}") for i in range(60)]
+    spark.createDataFrame(wave1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+    # wave 2 arrives later: 30 more per source; only 10 fit per source
+    wave2 = [(i, f"s{i % 2}") for i in range(100, 160)]
+    spark.createDataFrame(wave2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()
+
+    got = out.read(spark)
+    per = {r.source: r.n for r in
+           got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 40, "s1": 40}
+    s0 = sorted(r.doc_id for r in got.filter("source = 's0'").collect())
+    # every wave-1 doc (arrived first) + the 10 smallest wave-2 ids
+    assert s0 == list(range(0, 60, 2)) + list(range(100, 120, 2))
+
+
 def test_dedup_stream_drops_redeliveries(spark, tv, tmp_path):
     """Duplicate doc_ids delivered across micro-batches within the
     watermark are dropped; state is watermark-bounded."""
