@@ -306,8 +306,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # and without this each round would recompute the entire upstream
     # candidate-pair pipeline (e.g. shingle→minhash→band) from scratch
     edges = edges.localCheckpoint(eager=True)
+    labels, _ = _propagate(edges, max_iter)
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _propagate(edges: DataFrame, max_iter: int) -> tuple:
+    """Min-label propagation over a checkpointed bidirectional
+    (src, dst) edge frame. Returns ``(labels, converged)`` — labels as
+    (id, label), and whether a fixpoint was observed within
+    ``max_iter`` rounds (the convergence probe runs every 2nd round AND
+    on the last, so the flag is always decided)."""
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    converged = False
     for i in range(max_iter):
         neighbor_min = (edges.join(labels.withColumnRenamed("id", "dst")
                                    .withColumnRenamed("label", "nl"),
@@ -331,8 +342,9 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         # the probe's data volume, is the driver-side bottleneck.
         if (i % 2 == 1 or i == max_iter - 1) and \
                 new_labels.filter("_changed").isEmpty():
+            converged = True
             break
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    return labels, converged
 
 
 def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
@@ -413,6 +425,57 @@ def duplicate_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     roots = (nodes.join(labels, "id", "left_anti")
              .select("id", F.col("id").alias("cluster_id")))
     return labels.union(roots)
+
+
+def duplicate_clusters_auto(pairs: DataFrame, id_a: str = "id_a",
+                            id_b: str = "id_b", probe_rounds: int = 4,
+                            max_iter: int = 20) -> DataFrame:
+    """(id, cluster_id): connected components with runtime strategy
+    selection — the cheap-diameter-probe dispatcher over
+    :func:`duplicate_clusters` (label-prop, O(diameter) rounds, 1
+    shuffle/round — optimal for the tiny-diameter template clusters
+    near-dup detection actually produces) and
+    :func:`duplicate_clusters_star` (large/small-star contraction,
+    O(log n) rounds on ANY graph — the chain-shaped safety net).
+
+    The probe IS useful work, not a throwaway: run ``probe_rounds`` of
+    label propagation. If the fixpoint is reached (the overwhelmingly
+    common case — measured diameters on minhash pair graphs are 1-3),
+    those labels are the answer and nothing else runs. Otherwise the
+    graph has diameter > probe_rounds; instead of discarding the probe,
+    contract the QUOTIENT graph (edges mapped through the partial
+    labels, self-loops dropped — every propagated cluster collapses to
+    one node) with star rounds and compose: node → partial label →
+    star root. Correctness: partial labels always stay inside their
+    component and the component-minimum node keeps itself, so quotient
+    components image the original components and their min label is
+    the component min — the same contract as both underlying ops.
+
+    At 100 TB: the probe costs probe_rounds (id,label)-long shuffles on
+    the quotient-bound edge set; the star phase then runs on a graph
+    already shrunk by every diameter-≤probe cluster, which is the bulk
+    of near-dup mass."""
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels, converged = _propagate(edges, probe_rounds)
+    if converged:
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    lab_src = labels.select(F.col("id").alias("src"),
+                            F.col("label").alias("la"))
+    lab_dst = labels.select(F.col("id").alias("dst"),
+                            F.col("label").alias("lb"))
+    quotient = (edges.join(lab_src, "src").join(lab_dst, "dst")
+                .filter(F.col("la") != F.col("lb"))
+                .select(F.col("la").alias("id_a"),
+                        F.col("lb").alias("id_b")))
+    star = duplicate_clusters_star(quotient, max_iter=max_iter)
+    return (labels.join(star.withColumnRenamed("id", "label"),
+                        "label", "left")
+            .select("id", F.coalesce("cluster_id", "label")
+                    .alias("cluster_id")))
 
 
 # -- SimHash -------------------------------------------------------------------------

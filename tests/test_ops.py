@@ -641,6 +641,49 @@ def test_duplicate_clusters_star_on_minhash_pairs(spark, documents):
     assert a == b
 
 
+def test_duplicate_clusters_auto_matches_union_find(spark):
+    """Auto-dispatch CC: the label-prop probe answers tiny-diameter
+    graphs outright; a 64-chain (diameter >> probe_rounds) exercises
+    the quotient+star fallback; a mixed graph exercises BOTH regimes in
+    one call (converged clusters collapse to quotient singletons, the
+    chain contracts via star). All must equal the union-find golden."""
+    import random
+
+    from jsi_spark.ops.dedup import duplicate_clusters_auto
+    from jsi_spark.oracles import union_find_clusters
+
+    fixture = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+               (20, 21), (5, 6), (6, 7), (7, 8), (8, 9)]
+    chain = [(i, i + 1) for i in range(64)]
+    rng = random.Random(11)
+    mixed = (fixture + [(100 + i, 101 + i) for i in range(40)]
+             + [(rng.randrange(200, 260), rng.randrange(200, 260))
+                for _ in range(60)])
+    mixed = [(a, b) for a, b in mixed if a != b]
+    for edges in (fixture, chain, mixed):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = sorted((r.id, r.cluster_id)
+                     for r in duplicate_clusters_auto(df).collect())
+        assert got == union_find_clusters(edges)
+
+
+def test_duplicate_clusters_auto_probe_short_circuits(spark):
+    """On a tiny-diameter graph the probe converges and the star phase
+    must not run: pin by passing max_iter=0 AND a path graph (1-2-3)
+    whose raw edge set is NOT a star forest — a 0-round star phase
+    would label 3 with 2, so only the propagation path yields the
+    union-find answer."""
+    from jsi_spark.ops.dedup import duplicate_clusters_auto
+    from jsi_spark.oracles import union_find_clusters
+
+    edges = [(1, 2), (2, 3), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted((r.id, r.cluster_id)
+                 for r in duplicate_clusters_auto(
+                     df, probe_rounds=6, max_iter=0).collect())
+    assert got == union_find_clusters(edges)
+
+
 def test_train_quantizer_deterministic_and_order_free():
     """Quantizer training (shared engine/oracle routine) is a pure
     function of the sample SET: permuting input row order changes
