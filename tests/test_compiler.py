@@ -186,3 +186,15 @@ def test_unicode_property_escape_without_regex_module(monkeypatch):
     with pytest.raises(compiler.UnsupportedPatternError) as ei:
         compiler.compile_regex(r"^\p{L}+$")
     assert "regex" in str(ei.value)
+
+
+def test_anchor_resolution_case_sensitive_miss_raises():
+    """#FOO must not resolve to an anchor declared as 'foo' — anchors
+    are case-sensitive identifiers; a wrong-case ref is a compile-time
+    resolution error, never a silent match."""
+    from jsi_spark.compile.compiler import SchemaCompileError
+    with pytest.raises(SchemaCompileError):
+        compile_schema({
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$ref": "#FOO",
+            "$defs": {"a": {"$anchor": "foo", "type": "integer"}}})
