@@ -540,6 +540,15 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters_star(_near_dup_pairs(spark, sf_dir))
 
 
+def q_dedup_clusters_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via the runtime dispatcher
+    (ops/dedup.duplicate_clusters_auto): a short label-prop probe
+    answers tiny-diameter graphs outright; otherwise the quotient graph
+    is contracted with star rounds. Shares the union-find golden."""
+    from jsi_spark.ops.dedup import duplicate_clusters_auto
+    return duplicate_clusters_auto(_near_dup_pairs(spark, sf_dir))
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return simhash_candidates(docs, id_col="doc_id", content_col="text") \
@@ -749,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_clusters_auto": q_dedup_clusters_auto,
         "simhash_candidates": q_simhash_candidates,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,

@@ -521,6 +521,11 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
         "dedup_clusters_star": values_sql(
             union_find_clusters([(a, b) for a, b, _ in mh]),
             ["id", "cluster_id"], ["BIGINT", "BIGINT"]),
+        # the auto dispatcher (probe → label-prop | quotient star) is a
+        # third implementation of the same contract
+        "dedup_clusters_auto": values_sql(
+            union_find_clusters([(a, b) for a, b, _ in mh]),
+            ["id", "cluster_id"], ["BIGINT", "BIGINT"]),
         "simhash_candidates": values_sql(
             simhash_rows(docs), ["id_a", "id_b", "hamming"],
             ["BIGINT", "BIGINT", "INTEGER"]),
