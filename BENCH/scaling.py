@@ -49,6 +49,13 @@ sys.path.insert(0, {repo!r})
 # into the same heap -> GC-bound: measured A/B at 4M docs, equal 16g
 # heaps read parallel efficiency 0.73, proportional resources 0.86).
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "{mem}g")
+# pre-size the heap (-Xms = -Xmx): adaptive heap growth from the
+# default initial size costs elevated GC for the first several passes
+# (measured: per-pass GC fell 14.9s -> 7.1s over 4 passes at 24M docs
+# while walls fell monotonically), which reads as unconverged warmup
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS",
+    "--conf spark.driver.extraJavaOptions=-Xms{mem}g pyspark-shell")
 from bench import full_pass
 from jsi_spark.session import get_spark
 spark = get_spark("jsi-scaling", master="local[{cores}]",
@@ -61,11 +68,21 @@ def gc_ms():
     return sum(beans.get(i).getCollectionTime()
                for i in range(beans.size()))
 
-# warm-up run: JIT + codegen + page cache (untimed), then one measured
-# pass per GO command from the parent — the parent interleaves the two
-# parallelism levels so both sample the same host-noise windows; min
-# over passes is the robust estimator of achievable throughput
-full_pass(spark, {n_docs}, workdir=wd)
+# warm-up runs: JIT + codegen + page cache (untimed). ONE warmup is
+# not enough for the big-corpus passes — C2 compilation of the large
+# generated validator methods continues through several passes
+# (measured: walls fell monotonically across 4 post-warmup passes at
+# 24M docs) — so warm until the pass stabilizes (<3% improvement) or
+# the warmup budget is spent, then one measured pass per GO command
+# from the parent, which interleaves the two parallelism levels so
+# both sample the same host-noise windows; min over passes is the
+# robust estimator of achievable throughput
+prev = full_pass(spark, {n_docs}, workdir=wd)
+for _ in range({warmups} - 1):
+    cur = full_pass(spark, {n_docs}, workdir=wd)
+    if cur > prev * 0.97:
+        break
+    prev = cur
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "GO":
@@ -86,7 +103,9 @@ class _Child:
     def __init__(self, cores: int, n_docs: int):
         code = CHILD.format(repo=REPO, cores=cores, n_docs=n_docs,
                             workdir=WORKDIR, mem=2 * cores,
-                            shuffle=3 * cores)
+                            shuffle=3 * cores,
+                            warmups=int(os.environ.get(
+                                "SCALING_WARMUPS", "3")))
         self.cores = cores
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", code], text=True,
@@ -238,8 +257,10 @@ def headline_doc(n: int, n_docs: int, passes: int,
         "column stats + PSI drift) at two parallelism levels on the same",
         f"deterministic {n_docs:,}-doc input (jsi_spark.datagen; values",
         "are independent of partitioning). Both levels read the SAME",
-        "fixed-64-partition parquet corpus; each level does one untimed",
-        f"warm-up pass, then the {passes} measured passes per level are",
+        "fixed-64-partition parquet corpus; each level warms up with",
+        "untimed passes until the wall stabilizes (<3% improvement,",
+        "JIT of the large generated validator methods needs several",
+        f"passes), then the {passes} measured passes per level are",
         "INTERLEAVED (N, 4N, N, 4N, ... — two warm JVMs, one executing",
         "at a time) so both levels sample the same host-noise windows;",
         "the min per level is reported (the sandbox host is shared —",

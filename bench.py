@@ -117,16 +117,28 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     # MEMORY_ONLY: the disk-fallback flag of the default level makes the
     # cache-write job an order of magnitude slower on this host (see
     # ops/dedup._persist); the projection is 16 B/doc and recompute-safe
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.storagelevel import StorageLevel
     t0 = time.time()
-    _force(verdicts)
-    _force(violations)
-    _force(referential)
+    # Populate the shared projection cache first (so the three
+    # aggregations over it don't race to compute it), then submit the
+    # six independent result jobs CONCURRENTLY. This is how a
+    # validation suite runs on a real cluster — independent checks
+    # share the cluster and Spark's scheduler fills each job's
+    # stage-tail slack with the other jobs' tasks. Sequential
+    # submission strands (cores-1)/2 cores on average during every
+    # stage tail, a loss that grows with core count and therefore
+    # reads as false scaling inefficiency at the 4N level.
     flat.persist(StorageLevel.MEMORY_ONLY)
     try:
-        _force(uniq)
-        _force(stats)
-        _force(drift)
+        _force(flat)
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [pool.submit(_force, df)
+                    for df in (verdicts, violations, referential,
+                               uniq, stats, drift)]
+            for f in futs:
+                f.result()
     finally:
         flat.unpersist()
     return time.time() - t0
