@@ -132,11 +132,22 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     # reads as false scaling inefficiency at the 4N level.
     flat.persist(StorageLevel.MEMORY_ONLY)
     try:
-        _force(flat)
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            # verdicts/violations/referential don't read `flat`: submit
+            # them immediately so the cache-fill scan isn't a serial
+            # front edge of the pass (at 4N cores an idle-front second
+            # costs 4x the core-seconds it does at N)
             futs = [pool.submit(_force, df)
-                    for df in (verdicts, violations, referential,
-                               uniq, stats, drift)]
+                    for df in (verdicts, violations, referential)]
+
+            def _fill_then_consume():
+                _force(flat)
+                with ThreadPoolExecutor(max_workers=3) as inner:
+                    for f in [inner.submit(_force, df)
+                              for df in (uniq, stats, drift)]:
+                        f.result()
+
+            futs.append(pool.submit(_fill_then_consume))
             for f in futs:
                 f.result()
     finally:

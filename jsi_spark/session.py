@@ -59,6 +59,14 @@ def get_spark(app_name: str = "jsi-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The compiled validators are enormous predicate trees; the
+        # constraint-propagation rule's cost is superlinear in tree
+        # size (it exists as a flag for exactly this, SPARK-19846) and
+        # re-runs on every action. It only infers IsNotNull/filter
+        # facts we already state explicitly, so it buys these plans
+        # nothing — measured: per-pass driver cost 5.1-9.6 s with it,
+        # 4.8-5.4 s (and stable) without.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

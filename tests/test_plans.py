@@ -48,8 +48,10 @@ def test_parquet_scan_prunes_and_pushes_down(spark, tmp_path):
     plan = plan_of(df)
     # column pruning: the wide spans column must not be read
     assert "ReadSchema: struct<doc_id:string>" in plan
-    # predicate pushdown to the parquet scan
-    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id" in plan
+    # predicate pushdown to the parquet scan (no IsNotNull companion:
+    # constraint propagation is off session-wide — session.py — and
+    # GreaterThan already excludes nulls at the reader)
+    assert "PushedFilters: [GreaterThan(doc_id" in plan
 
 
 def test_referential_broadcasts_small_dim(spark, docs):
