@@ -155,6 +155,26 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     return time.time() - t0
 
 
+def _cpu_calib(spark) -> float:
+    """Fixed pure-CPU yardstick (xxhash64+pmod fold over spark.range:
+    zero allocation, zero I/O, whole-stage codegen), min of 3. The
+    sandbox host's deliverable CPU drifts between boots/co-tenants by
+    >1.5x (round 3 vs round 4 measured the SAME commit at 8.6 s vs
+    15.5 s headline); emitting the yardstick with every bench line
+    makes cross-round walls comparable: normalized = wall / calib."""
+    df = spark.range(0, 2_000_000_000,
+                     numPartitions=spark.sparkContext.defaultParallelism * 4)
+    best = None
+    for i in range(3):
+        t0 = time.time()
+        # pmod keeps the ANSI-mode sum of longs in range (tools/calibrate.py)
+        df.select(F.sum(F.pmod(F.xxhash64(F.col("id") + i),
+                               F.lit(1000000))).alias("s")).collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
@@ -164,7 +184,9 @@ def main():
     # shared host: single samples show multi-minute noise bursts of up
     # to 5x (BENCH/BASELINE.md); warm up once, report min of 3
     full_pass(spark, n_docs)
-    headline = min(full_pass(spark, n_docs) for _ in range(3))
+    walls = [full_pass(spark, n_docs) for _ in range(3)]
+    headline = min(walls)
+    calib = _cpu_calib(spark)
 
     from jsi_spark.ops.dedup import release_caches
     from jsi_spark.session import ensure_py_files
@@ -220,6 +242,11 @@ def main():
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "parallelism": master,
+        "pass_walls": [round(w, 3) for w in walls],
+        "cpu_calib_sec": round(calib, 3),
+        # host-invariant figure: docs/sec × calib sec — a 2x-slower
+        # host doubles both headline and calib, leaving this constant
+        "docs_per_calib_unit": round(n_docs * calib / headline, 1),
     }))
 
 
