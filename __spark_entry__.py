@@ -721,6 +721,61 @@ def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur_s"))
 
 
+_INC_PIPELINE = None
+
+
+def _inc_pipeline():
+    """One compiled ValidationPipeline per session — the typed
+    validator's Column tree build is driver-side seconds and reusable
+    across corpora with the docs struct."""
+    global _INC_PIPELINE
+    if _INC_PIPELINE is None:
+        from jsi_spark.pipeline import ValidationPipeline
+        _INC_PIPELINE = ValidationPipeline(n_buckets=8, salt_buckets=8)
+    return _INC_PIPELINE
+
+
+def q_incremental_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) validation through jsi_spark.incremental:
+    documents become TWO appends of one SnapshotTable corpus — snapshot
+    1 = even integer ids, snapshot 2 = odd ids, except odd ids with
+    i % 13 == 1 are rewritten to the (even) id i-1, planting
+    cross-snapshot doc_id collisions. The validator consumes both
+    snapshots; the delta's collisions are found by semi-joining the
+    id-index built while consuming snapshot 1 — snapshot 1's data is
+    never re-scanned. Oracle: the same set in pure SQL over the same
+    split."""
+    import os
+    import tempfile
+
+    from jsi_spark.incremental import CROSS_DUP_KEY, IncrementalValidator
+    from jsi_spark.io.tableio import SnapshotTable
+
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    spans = F.array(F.struct(
+        F.lit("text").alias("kind"), F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset")))
+    base = d.filter(i % 2 == 0).select(
+        F.format_string("doc-%09d", i).alias("doc_id"),
+        spans.alias("spans"))
+    delta = d.filter(i % 2 == 1).select(
+        F.format_string("doc-%09d",
+                        F.when(i % 13 == 1, i - 1).otherwise(i))
+        .alias("doc_id"), spans.alias("spans"))
+    work = tempfile.mkdtemp(prefix="jsi_inc_")
+    corpus = SnapshotTable(work, "corpus")
+    corpus.append(base.coalesce(8))
+    corpus.append(delta.coalesce(8))
+    inc = IncrementalValidator(corpus, os.path.join(work, "out"),
+                               pipeline=_inc_pipeline())
+    inc.run_once(spark, _media_dim(spark))
+    return (inc.violations(spark)
+            .filter(F.col("message_key") == CROSS_DUP_KEY)
+            .select("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full interleaved-docs keyword validation at sf0.001 —
     per-partition verdicts (part, docs, passed, failed, pass)."""
@@ -744,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_user_ids": q_duplicate_user_ids,
         "referential_dangling": q_referential_dangling,
         "psi_value_drift": q_psi_value_drift,
+        "incremental_uniqueness": q_incremental_uniqueness,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -1160,6 +1216,12 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (
                        PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents) WHERE rn <= {STREAM_CAP}""",
+        "incremental_uniqueness": """
+            SELECT printf('doc-%09d', d.doc_id - 1) AS doc_id
+            FROM documents d
+            WHERE d.doc_id % 2 = 1 AND d.doc_id % 13 = 1
+              AND EXISTS (SELECT 1 FROM documents b
+                          WHERE b.doc_id = d.doc_id - 1)""",
         "dedup_exact": """
             WITH c AS (SELECT doc_id,
                               array_to_string(
