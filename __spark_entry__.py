@@ -721,6 +721,54 @@ def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur_s"))
 
 
+def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming validation pass: the generic-path JSON
+    validator runs over a file STREAM of events; per-window verdict
+    counts (events/passed/failed per event-time hour) are the streaming
+    analog of partition_verdicts. The watermark bounds window state on
+    an unbounded stream (late rows beyond 1 h are dropped in
+    append/update modes); this bounded availableNow drain uses complete
+    mode so EVERY window is emitted for the oracle compare — the same
+    hourly windows in SQL."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    ensure_py_files(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file stream source requires a DIRECTORY (see
+    # q_stream_source_cap)
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        "jsi_stream_ev_" + hashlib.md5(path.encode()).hexdigest()[:12])
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    valid_udf = valid_json_udf(compile_schema(PROPS_JSON_SCHEMA))
+    # parquet ts is TIMESTAMP_NTZ; watermarks require an instant —
+    # interpret wall time in the session's pinned UTC
+    agg = (spark.readStream.schema(schema).parquet(src_dir)
+           .select(F.col("ts").cast("timestamp").alias("ts"),
+                   valid_udf(F.col("props")).alias("valid"))
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("events"),
+                F.sum(F.col("valid").cast("long")).alias("passed"),
+                F.sum((~F.col("valid")).cast("long")).alias("failed"))
+           .select(F.col("w.start").cast("long").alias("win_start"),
+                   "events", "passed", "failed"))
+    name = "sv_" + uuid.uuid4().hex[:12]
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="sv_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _INC_PIPELINE = None
 
 
@@ -807,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "source_cap": q_source_cap,
         "stream_source_cap": q_stream_source_cap,
+        "stream_validation": q_stream_validation,
         "source_budget": q_source_budget,
         "dedup_exact": q_dedup_exact,
         "decontamination": q_decontamination,
@@ -1216,6 +1265,19 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (
                        PARTITION BY source ORDER BY doc_id) AS rn
               FROM documents) WHERE rn <= {STREAM_CAP}""",
+        "stream_validation": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                     AS win_start,
+                   COUNT(*) AS events,
+                   SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS passed,
+                   SUM(CASE WHEN valid THEN 0 ELSE 1 END) AS failed
+            FROM (SELECT ts, (k IS NOT NULL AND k >= 5 AND k <= 95)
+                            AS valid
+                  FROM (SELECT ts,
+                               CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT) AS k
+                        FROM events))
+            GROUP BY 1""",
         "incremental_uniqueness": """
             SELECT printf('doc-%09d', d.doc_id - 1) AS doc_id
             FROM documents d
