@@ -6,11 +6,16 @@
         --media-dim s3://corpus/media --out s3://corpus/_validation
 
 Subcommands:
-  validate   full validation pass (keyword checks + corpus constraints),
-             resumable: re-running with the same --out skips committed
-             partition buckets (checkpoint manifest).
-  stats      per-column stats table only.
-  bench      the bench.full_pass headline (sandbox convenience).
+  validate          full validation pass (keyword checks + corpus
+                    constraints), resumable: re-running with the same
+                    --out skips committed partition buckets
+                    (checkpoint manifest).
+  validate-appends  incremental pass: consume only corpus snapshots
+                    appended since the last run with the same --out
+                    (O(delta); cross-snapshot uniqueness via the
+                    id-index table). Idempotent — run it from cron.
+  stats             per-column stats table only.
+  bench             the bench.full_pass headline (sandbox convenience).
 """
 
 from __future__ import annotations
@@ -43,6 +48,18 @@ def main(argv=None):
     v.add_argument("--no-broadcast-dim", action="store_true",
                    help="force the sort-merge referential path")
 
+    va = sub.add_parser("validate-appends")
+    va.add_argument("--corpus", required=True,
+                    help="SnapshotTable root/name of the docs corpus "
+                         "(root/name — e.g. /data/tables/docs)")
+    va.add_argument("--out", required=True, help="output directory")
+    va.add_argument("--schema", help="JSON Schema file "
+                    "(default: built-in interleaved-docs schema)")
+    va.add_argument("--media-dim", help="media dimension table path")
+    va.add_argument("--n-buckets", type=int, default=32)
+    va.add_argument("--salt-buckets", type=int, default=64)
+    va.add_argument("--no-broadcast-dim", action="store_true")
+
     s = sub.add_parser("stats")
     _add_common(s)
     s.add_argument("--columns", nargs="*", default=None)
@@ -71,6 +88,25 @@ def main(argv=None):
         result = pipe.run(spark, docs, media, args.out,
                           parts_per_job=args.parts_per_job)
         print(json.dumps(result))
+    elif args.cmd == "validate-appends":
+        import os
+
+        import jsi_spark.datagen as dg
+        from jsi_spark.incremental import IncrementalValidator
+        from jsi_spark.io.tableio import SnapshotTable
+        schema = None
+        if args.schema:
+            with open(args.schema) as f:
+                schema = json.load(f)
+        root, name = os.path.split(args.corpus.rstrip("/"))
+        corpus = SnapshotTable(root, name)
+        media = (spark.read.parquet(args.media_dim) if args.media_dim
+                 else dg.gen_media_dim(spark, 1000))
+        inc = IncrementalValidator(
+            corpus, args.out, schema, n_buckets=args.n_buckets,
+            salt_buckets=args.salt_buckets,
+            broadcast_dim=not args.no_broadcast_dim)
+        print(json.dumps(inc.run_once(spark, media)))
     elif args.cmd == "stats":
         from jsi_spark.exec.stats import column_stats
         df = spark.read.parquet(args.docs)

@@ -81,9 +81,13 @@ class IncrementalValidator:
         return self._sources("id_index")
 
     def pending(self) -> list[dict]:
+        """Data snapshots not yet consumed. Maintenance snapshots
+        (compaction REPLACEs) are skipped — they rewrite already-
+        validated rows into fewer files and carry nothing new."""
         done = self.consumed()
         return [s for s in self.corpus.manifest()["snapshots"]
-                if s["snapshot_id"] not in done]
+                if s["snapshot_id"] not in done
+                and s.get("meta", {}).get("operation") != "replace"]
 
     def _snapshot_df(self, spark: SparkSession, snap: dict) -> DataFrame:
         return spark.read.parquet(

@@ -60,8 +60,12 @@ class SnapshotTable:
         os.replace(tmp, self.manifest_path)  # atomic commit
 
     def committed_batches(self) -> list[str]:
-        return [b for s in self.manifest()["snapshots"]
-                for b in s["batches"]]
+        out: list[str] = []
+        for s in self.manifest()["snapshots"]:
+            if s.get("meta", {}).get("operation") == "replace":
+                out = []  # a compaction snapshot supersedes all before it
+            out.extend(s["batches"])
+        return out
 
     def snapshot_ids(self) -> list[str]:
         return [s["snapshot_id"] for s in self.manifest()["snapshots"]]
@@ -99,6 +103,8 @@ class SnapshotTable:
         over the manifest's snapshot log."""
         batches = []
         for s in self.manifest()["snapshots"]:
+            if s.get("meta", {}).get("operation") == "replace":
+                batches = []
             batches.extend(s["batches"])
             if as_of is not None and s["snapshot_id"] == as_of:
                 break
@@ -117,6 +123,42 @@ class SnapshotTable:
                    for b in self.committed_batches())
 
     # -- maintenance -----------------------------------------------------------
+
+    def compact(self, spark: SparkSession,
+                target_files: int = 8) -> str | None:
+        """Rewrite every visible batch into one new batch dir and commit
+        a REPLACE snapshot (Iceberg rewrite_data_files): readers switch
+        atomically from many small files to the compacted set; older
+        snapshots stay time-travelable until :meth:`expire_snapshots`.
+        Incremental appends naturally accrete small files — compaction
+        is their companion (IncrementalValidator skips replace
+        snapshots: they carry no NEW rows to validate)."""
+        batches = self.committed_batches()
+        if len(batches) <= 1:
+            return None
+        df = spark.read.parquet(
+            *[os.path.join(self.dir, b) for b in batches])
+        staged = self.stage_batch(df.coalesce(target_files))
+        return self.commit([staged], {"operation": "replace",
+                                      "compacted_batches": len(batches)})
+
+    def expire_snapshots(self) -> list[str]:
+        """Drop every snapshot before the LAST replace snapshot
+        (Iceberg expire_snapshots): their exclusive batch dirs become
+        orphans for :meth:`vacuum`. Time travel to expired ids stops
+        working — run maintenance only once downstream consumers (e.g.
+        incremental validators) have consumed all data snapshots."""
+        m = self.manifest()
+        snaps = m["snapshots"]
+        last = max((i for i, s in enumerate(snaps)
+                    if s.get("meta", {}).get("operation") == "replace"),
+                   default=None)
+        if last is None:
+            return []
+        expired = [s["snapshot_id"] for s in snaps[:last]]
+        m["snapshots"] = snaps[last:]
+        self._write_manifest(m)
+        return expired
 
     def vacuum(self) -> list[str]:
         """Delete orphan batch dirs no snapshot references (the debris

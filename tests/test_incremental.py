@@ -174,3 +174,25 @@ def test_per_snapshot_violation_audit(spark, halves, media, tmp_path):
     assert sum(p.count() for p in per) == total
     # cross-snapshot dups only appear in the SECOND snapshot's audit
     assert per[0].filter(F.col("message_key") == CROSS_DUP_KEY).count() == 0
+
+
+def test_compaction_snapshot_is_not_revalidated(spark, halves, media,
+                                                tmp_path):
+    """Compacting the corpus rewrites already-validated rows; the
+    incremental validator must skip the REPLACE snapshot (re-validating
+    it would double every verdict count)."""
+    a, b = halves
+    corpus = _corpus(tmp_path, a, b)
+    inc = IncrementalValidator(corpus, str(tmp_path / "out"), n_buckets=8)
+    inc.run_once(spark, media)
+    before = {r.part: r.docs for r in inc.merged_verdicts(spark).collect()}
+
+    corpus.compact(spark, target_files=2)
+    assert inc.pending() == []
+    res = inc.run_once(spark, media)
+    assert res["consumed"] == []
+    after = {r.part: r.docs for r in inc.merged_verdicts(spark).collect()}
+    assert after == before
+    # a genuinely new append after compaction IS pending
+    corpus.append(a.limit(50))
+    assert len(inc.pending()) == 1

@@ -335,3 +335,51 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
     assert t.vacuum() == [orphan]
     assert t.read(spark).count() == 5          # committed data intact
     assert t.read(spark, as_of=s1).count() == 3
+
+
+def test_snapshot_compaction_and_expiry(spark, tmp_path):
+    """Iceberg rewrite_data_files analog: compact() commits a REPLACE
+    snapshot readers switch to atomically; time travel to pre-compaction
+    snapshots keeps working until expire_snapshots(); expiry + vacuum
+    reclaims the superseded batch dirs without touching visible data."""
+    import os
+
+    from jsi_spark.io.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "ct")
+    s1 = t.append(spark.range(3).selectExpr("id", "'a' AS tag"))
+    t.append(spark.range(2).selectExpr("id + 10 AS id", "'b' AS tag"))
+    old_batches = t.committed_batches()
+    assert len(old_batches) == 2
+
+    snap = t.compact(spark, target_files=1)
+    assert snap is not None
+    # visible data unchanged, now served by ONE batch
+    assert t.read(spark).count() == 5
+    assert {r.tag for r in t.read(spark).collect()} == {"a", "b"}
+    assert len(t.committed_batches()) == 1
+    assert t.num_rows() == 5
+    # time travel across the replace boundary still works
+    assert t.read(spark, as_of=s1).count() == 3
+    # compacting a single-batch table is a no-op
+    assert t.compact(spark) is None
+
+    expired = t.expire_snapshots()
+    assert len(expired) == 2
+    removed = t.vacuum()
+    assert set(removed) == set(old_batches)
+    assert t.read(spark).count() == 5
+    for b in old_batches:
+        assert not os.path.exists(os.path.join(t.dir, b))
+
+
+def test_appends_after_compaction_accumulate(spark, tmp_path):
+    from jsi_spark.io.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "cta")
+    t.append(spark.range(3))
+    t.append(spark.range(2))
+    t.compact(spark, target_files=1)
+    t.append(spark.range(4))
+    assert t.read(spark).count() == 9
+    assert t.num_rows() == 9
