@@ -223,3 +223,31 @@ def test_benchmark_overlap_probe_broadcasts(spark):
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         keys = frag.split(")", 1)[0]
         assert not keys.startswith("sh#"), plan
+
+
+def test_incremental_cross_snapshot_join_is_pruned(spark, docs, tmp_path):
+    """The cross-snapshot uniqueness check must semi-join ONLY the
+    id-index projection (doc_id) — never re-scan history rows or pull
+    spans into the exchange — and stay fully JVM-side."""
+    from jsi_spark.datagen import gen_media_dim
+    from jsi_spark.incremental import IncrementalValidator
+    from jsi_spark.io.tableio import SnapshotTable
+
+    corpus = SnapshotTable(str(tmp_path), "corpus")
+    corpus.append(docs.limit(1000))
+    inc = IncrementalValidator(corpus, str(tmp_path / "out"), n_buckets=8)
+    inc.run_once(spark, gen_media_dim(spark, 100))
+    corpus.append(docs.limit(1500))
+
+    delta = inc._snapshot_df(spark, inc.pending()[0])
+    checked = inc.pipeline.checked(delta)
+    plan = plan_of(inc.cross_snapshot_dups(checked, spark))
+    assert "EvalPython" not in plan, "Python stage in the index join"
+    assert "LeftSemi" in plan, plan[:400]
+    # BOTH scans (delta and id-index) are pruned to doc_id only — the
+    # delta's spans/valid columns and the index's part column never
+    # leave parquet for this check
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, plan[:600]
+    for ln in scans:
+        assert "ReadSchema: struct<doc_id:string>" in ln, ln
