@@ -96,11 +96,19 @@ class SnapshotTable:
 
     # -- read -----------------------------------------------------------------
 
-    def read(self, spark: SparkSession,
-             as_of: str | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, as_of: str | None = None,
+             merge_schema: bool = True) -> DataFrame | None:
         """Committed rows; ``as_of`` reads the table AS OF that
         snapshot id (inclusive) — Iceberg time travel (`VERSION AS OF`)
-        over the manifest's snapshot log."""
+        over the manifest's snapshot log.
+
+        ``merge_schema`` (default on) unions batch schemas by name so
+        an append with an EVOLVED schema (new nullable column) reads
+        correctly — pre-evolution rows surface NULL for the new column,
+        Iceberg's add-column semantics. Without it Spark silently takes
+        the first file's schema and drops the new column. (Iceberg
+        tracks the schema in table metadata instead of footers; this
+        layer pays the footer union, which is what the sandbox has.)"""
         batches = []
         for s in self.manifest()["snapshots"]:
             if s.get("meta", {}).get("operation") == "replace":
@@ -113,7 +121,10 @@ class SnapshotTable:
                 raise KeyError(f"unknown snapshot {as_of!r}")
         if not batches:
             return None
-        return spark.read.parquet(
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(self.dir, b) for b in batches])
 
     def num_rows(self) -> int:
@@ -136,9 +147,9 @@ class SnapshotTable:
         batches = self.committed_batches()
         if len(batches) <= 1:
             return None
-        df = spark.read.parquet(
-            *[os.path.join(self.dir, b) for b in batches])
-        staged = self.stage_batch(df.coalesce(target_files))
+        # read() merges schemas, so compaction writes the EVOLVED
+        # schema for every row (old rows get NULL in added columns)
+        staged = self.stage_batch(self.read(spark).coalesce(target_files))
         return self.commit([staged], {"operation": "replace",
                                       "compacted_batches": len(batches)})
 

@@ -196,3 +196,19 @@ def test_compaction_snapshot_is_not_revalidated(spark, halves, media,
     # a genuinely new append after compaction IS pending
     corpus.append(a.limit(50))
     assert len(inc.pending()) == 1
+
+
+def test_evolved_delta_still_validates(spark, halves, media, tmp_path):
+    """A delta append that gained a new column (schema evolution) must
+    validate unchanged: the compiled validator binds only the schema's
+    fields, and the extra column never enters the outputs."""
+    a, b = halves
+    corpus = _corpus(tmp_path, a)
+    inc = IncrementalValidator(corpus, str(tmp_path / "out"), n_buckets=8)
+    inc.run_once(spark, media)
+
+    corpus.append(b.withColumn("pipeline_tag", F.lit("v2")))
+    inc.run_once(spark, media)
+    mv = inc.merged_verdicts(spark)
+    assert sum(r.docs for r in mv.collect()) == a.count() + b.count()
+    assert "pipeline_tag" not in inc.violations(spark).columns

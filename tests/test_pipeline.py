@@ -383,3 +383,25 @@ def test_appends_after_compaction_accumulate(spark, tmp_path):
     t.append(spark.range(4))
     assert t.read(spark).count() == 9
     assert t.num_rows() == 9
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """Iceberg add-column semantics: an append with a NEW nullable
+    column reads correctly (pre-evolution rows surface NULL), and
+    compaction rewrites every row under the evolved schema."""
+    from jsi_spark.io.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "ev")
+    t.append(spark.range(3).selectExpr("id"))
+    t.append(spark.range(2).selectExpr("id + 10 AS id", "'x' AS new_col"))
+    df = t.read(spark)
+    assert set(df.columns) == {"id", "new_col"}
+    assert df.count() == 5
+    assert df.filter("new_col IS NULL").count() == 3
+    assert df.filter("new_col = 'x'").count() == 2
+
+    t.compact(spark, target_files=1)
+    df2 = t.read(spark)
+    assert set(df2.columns) == {"id", "new_col"}
+    assert df2.filter("new_col IS NULL").count() == 3
+    assert t.num_rows() == 5
