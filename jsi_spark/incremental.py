@@ -58,9 +58,11 @@ class IncrementalValidator:
     def __init__(self, corpus: SnapshotTable, out_dir: str,
                  schema: dict | None = None, n_buckets: int = 32,
                  salt_buckets: int = 64, broadcast_dim: bool = True,
-                 pipeline: ValidationPipeline | None = None):
+                 pipeline: ValidationPipeline | None = None,
+                 cache_delta: bool = True):
         self.corpus = corpus
         self.out_dir = out_dir
+        self.cache_delta = cache_delta
         # a prebuilt pipeline skips recompiling the schema (the typed
         # validator's Column tree costs driver seconds to build and is
         # reusable across any corpus with the same struct)
@@ -120,6 +122,22 @@ class IncrementalValidator:
         started = _now()
         delta = self._snapshot_df(spark, snap)
         checked = self.pipeline.checked(delta)
+        if self.cache_delta:
+            # the four output stages (violations / metrics / verdicts /
+            # id-index) would otherwise each re-scan the snapshot and
+            # re-evaluate the validator tree. The cache is bounded by
+            # the APPEND size, not the corpus — the knob exists for
+            # deltas that outgrow cluster memory (recompute instead)
+            from pyspark.storagelevel import StorageLevel
+            checked = checked.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._stages(spark, sid, started, checked, media_dim)
+        finally:
+            if self.cache_delta:
+                checked.unpersist()
+
+    def _stages(self, spark: SparkSession, sid: str, started: str,
+                checked: DataFrame, media_dim: DataFrame) -> None:
 
         if sid not in self._sources("violations"):
             viol = (self.pipeline.local_violations(checked)
