@@ -431,6 +431,24 @@ def q_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_CAP = 15
 
 
+def _stream_src_dir(sf_dir: str, table: str, tag: str) -> str:
+    """The file stream source requires a DIRECTORY; expose the single
+    testdata parquet through a per-(sf_dir, table) symlink dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsi_stream_{tag}_" + hashlib.md5(path.encode()).hexdigest()[:12])
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return src_dir
+
+
 def q_stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL STREAMING operator (applyInPandasWithState):
     per-source admission quota whose running count survives across
@@ -440,23 +458,14 @@ def q_stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number() OVER (PARTITION BY source ORDER BY doc_id) <= cap —
     the SQL oracle below; the cross-batch/restart state behavior is
     pinned by tests/test_streaming.py."""
-    import hashlib
     import os
     import tempfile
     import uuid
 
     from jsi_spark.streaming import streaming_source_cap
-    path = os.path.join(sf_dir, "documents.parquet")
-    # the file stream source requires a DIRECTORY; expose the single
-    # testdata file through a per-sf_dir symlink dir
-    src_dir = os.path.join(
-        tempfile.gettempdir(),
-        "jsi_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:12])
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    schema = spark.read.parquet(path).schema
+    src_dir = _stream_src_dir(sf_dir, "documents", "src")
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).schema
     stream = (spark.readStream.schema(schema).parquet(src_dir)
               .select("doc_id", "source"))
     name = "ssc_" + uuid.uuid4().hex[:12]
@@ -730,23 +739,14 @@ def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     append/update modes); this bounded availableNow drain uses complete
     mode so EVERY window is emitted for the oracle compare — the same
     hourly windows in SQL."""
-    import hashlib
     import os
     import tempfile
     import uuid
 
     ensure_py_files(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    # the file stream source requires a DIRECTORY (see
-    # q_stream_source_cap)
-    src_dir = os.path.join(
-        tempfile.gettempdir(),
-        "jsi_stream_ev_" + hashlib.md5(path.encode()).hexdigest()[:12])
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    schema = spark.read.parquet(path).schema
+    src_dir = _stream_src_dir(sf_dir, "events", "ev")
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
     valid_udf = valid_json_udf(compile_schema(PROPS_JSON_SCHEMA))
     # parquet ts is TIMESTAMP_NTZ; watermarks require an instant —
     # interpret wall time in the session's pinned UTC
@@ -779,6 +779,49 @@ def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (jsi_spark.streaming.dedup_stream →
+    ``dropDuplicatesWithinWatermark``): the first arrival per
+    (user_id, event_type) is admitted; re-deliveries arriving within
+    the event-time watermark are dropped, and a key's state is evicted
+    once the watermark passes it — bounded state on an unbounded
+    stream, where a plain ``dropDuplicates`` would grow state forever.
+    WHICH physical row survives a key is arrival-order-dependent, so
+    the gated output projects the key columns (deterministic: exactly
+    the DISTINCT keys — 10,000 events → 750 survivors at sf0.01);
+    cross-batch redelivery and state-eviction semantics are pinned in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from jsi_spark.streaming import dedup_stream
+    src_dir = _stream_src_dir(sf_dir, "events", "dd")
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .select("user_id", "event_type",
+                      F.col("ts").cast("timestamp").alias("ts")))
+    deduped = dedup_stream(stream, "ts",
+                           key_cols=("user_id", "event_type"),
+                           watermark="1 hour")
+    name = "sd_" + uuid.uuid4().hex[:12]
+    # state partitions sized to the state (~750 keys), not the batch
+    # default — same sizing rationale as q_stream_validation
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (deduped.writeStream.outputMode("append").format("memory")
+             .queryName(name)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="sd_ckpt_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name).select("user_id", "event_type")
 
 
 _INC_PIPELINE = None
@@ -868,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "stream_source_cap": q_stream_source_cap,
         "stream_validation": q_stream_validation,
+        "stream_dedup": q_stream_dedup,
         "source_budget": q_source_budget,
         "dedup_exact": q_dedup_exact,
         "decontamination": q_decontamination,
@@ -1290,6 +1334,8 @@ def oracle_sql() -> dict[str, str]:
                                     AS BIGINT) AS k
                         FROM events))
             GROUP BY 1""",
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events""",
         "incremental_uniqueness": """
             SELECT printf('doc-%09d', d.doc_id - 1) AS doc_id
             FROM documents d
