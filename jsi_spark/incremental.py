@@ -138,8 +138,14 @@ class IncrementalValidator:
 
     def _stages(self, spark: SparkSession, sid: str, started: str,
                 checked: DataFrame, media_dim: DataFrame) -> None:
-
-        if sid not in self._sources("violations"):
+        # The four audit outputs are independent of each other; submit
+        # them CONCURRENTLY (same rationale as bench.full_pass: a
+        # sequential submit strands executors in every stage tail, and
+        # the persisted delta's partitions are computed exactly once —
+        # the block manager serializes per-block computation across
+        # jobs). id_index stays strictly LAST: it is the consumed
+        # marker, so a crash mid-way re-runs only unfinished cells.
+        def _violations():
             viol = (self.pipeline.local_violations(checked)
                     .unionByName(self.pipeline.corpus_violations(
                         checked, media_dim))
@@ -148,23 +154,34 @@ class IncrementalValidator:
                 viol.select(*VIOLATION_OUT_COLS),
                 {"source_snapshot": sid})
 
-        if sid not in self._sources("metrics"):
+        def _metrics():
             metr = self.pipeline.metrics(checked).unionByName(
                 self.pipeline.drift_metrics(checked, self.out_dir))
             self.tables["metrics"].append(metr, {"source_snapshot": sid})
 
-        if sid not in self._sources("verdicts"):
+        def _verdicts():
             verd = partition_verdicts(checked).withColumn(
                 "snapshot_id", F.lit(sid))
             self.tables["verdicts"].append(verd, {"source_snapshot": sid})
 
-        if sid not in self._sources("lineage"):
+        def _lineage():
             parts = list(range(self.pipeline.n_buckets))
             rows = [(f"inc-{sid}", p, sid, "committed", started, _now())
                     for p in parts]
             self.tables["lineage"].append(
                 spark.createDataFrame(rows, LINEAGE_SCHEMA),
                 {"source_snapshot": sid})
+
+        from concurrent.futures import ThreadPoolExecutor
+        todo = [(name, fn) for name, fn in
+                [("violations", _violations), ("metrics", _metrics),
+                 ("verdicts", _verdicts), ("lineage", _lineage)]
+                if sid not in self._sources(name)]
+        if todo:
+            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                futs = [pool.submit(fn) for _, fn in todo]
+                for f in futs:
+                    f.result()
 
         # LAST: indexing the delta's ids marks the snapshot consumed
         if sid not in self._sources("id_index"):

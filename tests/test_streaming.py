@@ -188,10 +188,15 @@ def test_dedup_stream_drops_redeliveries(spark, tv, tmp_path):
 
     schema = base.schema
     stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_stream(stream, "ts", watermark="10 minutes")
+    # plan pin: the watermark-bounded stateful dedup operator, not an
+    # unbounded dropDuplicates (whose state grows forever at 10^12-doc
+    # ingest)
+    lp = deduped._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in lp, lp[:400]
+    assert "EventTimeWatermark" in lp, lp[:400]
     out = SnapshotTable(str(tmp_path), "deduped")
-    writer = write_snapshot_sink(
-        dedup_stream(stream, "ts", watermark="10 minutes"), out,
-        str(tmp_path / "ckpt_d"))
+    writer = write_snapshot_sink(deduped, out, str(tmp_path / "ckpt_d"))
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination(120)
     got = out.read(spark)
