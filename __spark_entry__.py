@@ -37,7 +37,8 @@ from jsi_spark.ops.dedup import (
 )
 from jsi_spark.ops.dedup import _persist as _persist_op
 from jsi_spark.ops.multimodal import (
-    extract_features, synth_media, synth_png_media, synth_wav_media,
+    extract_features, synth_jpeg_media, synth_media, synth_png_media,
+    synth_wav_media,
 )
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
@@ -711,6 +712,29 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.join(feats, "frame_key").drop("frame_key")
 
 
+def q_media_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec path: deterministic grayscale baseline-JPEG
+    payloads (pure-numpy T.81 encoder: DCT + canonical Huffman + byte
+    stuffing) decoded back by jsi_spark.ops.jpeg and reduced to pixel
+    statistics. JPEG is lossy, so the oracle golden is the pure
+    block-math reference round trip (oracles.media_jpeg_rows) — any
+    defect in the entropy/marker layer shifts coefficients and
+    hash-mismatches."""
+    ensure_py_files(spark)
+    media = synth_jpeg_media(_media_dim(spark))
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_ref",
+        F.round(F.element_at("features", 2).cast("double"), 6)
+        .alias("mean_g"),
+        F.round(F.element_at("features", 5).cast("double"), 6)
+        .alias("var_g"),
+        F.round(F.element_at("features", 7).cast("double"), 6)
+        .alias("lum_h0"),
+        F.round(F.element_at("features", 15).cast("double"), 6)
+        .alias("aspect"))
+
+
 def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio counterpart of media_png_real: deterministic 16-bit PCM
     WAV payloads round-tripped through the stdlib wave codec; the
@@ -927,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
+        "media_jpeg_real": q_media_jpeg_real,
         "media_wav_real": q_media_wav_real,
         "media_resize_real": q_media_resize_real,
         "media_frames_real": q_media_frames_real,

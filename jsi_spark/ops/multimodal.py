@@ -5,14 +5,15 @@ Arrow-batched stages over ``mapInPandas``.
 ``decode="fake"`` produces a deterministic feature vector from the
 bytes' hash so the Spark-side plumbing — schema, partitioning, UDF
 signature, Arrow batch shape — is real and tested regardless of
-environment. ``decode="real"`` decodes payloads with the pure-stdlib
-codecs — PNG (:mod:`jsi_spark.ops.png`, zlib scanlines + the 5
-predictor filters), 16-bit PCM WAV (:mod:`jsi_spark.ops.wav`), and
-animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW) — and
-derives features from the actual pixels/samples/frames; other formats
-(JPEG, MP4, ...) still raise NotImplementedError at the exact point
-PIL/librosa/ffmpeg would plug in — those codecs are not
-stdlib-implementable.
+environment. ``decode="real"`` decodes payloads with the pure-
+stdlib/numpy codecs — PNG (:mod:`jsi_spark.ops.png`, zlib scanlines +
+the 5 predictor filters), 16-bit PCM WAV (:mod:`jsi_spark.ops.wav`),
+animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW), and
+grayscale baseline JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT +
+canonical Huffman) — and derives features from the actual
+pixels/samples/frames; other formats (MP4, color/progressive JPEG,
+...) still raise NotImplementedError at the exact point
+PIL/librosa/ffmpeg would plug in.
 """
 
 from __future__ import annotations
@@ -80,6 +81,35 @@ def synth_png_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
                 w, h = png.synth_dims(ref, max_side)
                 payload = png.encode_png(png.synth_pixels(ref, w, h),
                                          w, h, color_type=2)
+                rows.append((ref, payload, w, h))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "width", "height"])
+            out["media_kind"] = "image"
+            out["duration_ms"] = pd.array([None] * len(out),
+                                          dtype="Int32")
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    ensure_py_files(media_dim.sparkSession)
+    imgs = media_dim.filter(F.col("media_kind") == "image") \
+        .select("media_ref")
+    return imgs.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
+    """Attach REAL (small, deterministic) baseline-JPEG payloads to the
+    image rows of the media_dim table: the same SHA-256 pixel stream as
+    :func:`synth_png_media` (single channel), encoded through the
+    pure-numpy T.81 codec (jsi_spark.ops.jpeg)."""
+    from jsi_spark.ops import jpeg, png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                w, h = png.synth_dims(ref, max_side)
+                payload = jpeg.encode_jpeg(
+                    png.synth_pixels(ref, w, h, channels=1), w, h)
                 rows.append((ref, payload, w, h))
             out = pd.DataFrame(rows, columns=["media_ref", "payload",
                                               "width", "height"])
@@ -229,10 +259,16 @@ def _real_decode_features(payload: bytes):
     statistics features. Per-payload Python is the
     nature of codecs (PIL is, too) — the batching above this stays
     Arrow."""
-    from jsi_spark.ops import gif, png, wav
+    from jsi_spark.ops import gif, jpeg, png, wav
     if wav.is_wav(payload):
         rate, ch, samples = wav.decode_wav(bytes(payload))
         return [float(x) for x in wav.audio_stats(samples, rate, ch)]
+    if jpeg.is_jpeg(payload):
+        w, h, gray = jpeg.decode_jpeg(bytes(payload))
+        rgb = bytearray(w * h * 3)
+        for p in range(w * h):      # promote gray to RGB for uniform stats
+            rgb[p * 3:p * 3 + 3] = gray[p:p + 1] * 3
+        return [float(x) for x in png.pixel_stats(bytes(rgb), w, h)]
     if gif.is_gif(payload):
         # clip-level features: pixel stats of the first frame (frame-
         # granular work goes through sample_frames, which explodes to
@@ -243,7 +279,8 @@ def _real_decode_features(payload: bytes):
     if not png.is_png(payload):
         raise NotImplementedError(
             "decode='real' covers PNG (stdlib zlib), PCM WAV (stdlib "
-            "wave), and animated GIF (stdlib LZW); other formats need "
+            "wave), animated GIF (stdlib LZW), and grayscale baseline "
+            "JPEG (numpy T.81); other formats (MP4, ...) need "
             "PIL/librosa/ffmpeg — plug the codec in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:

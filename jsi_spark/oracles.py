@@ -400,6 +400,33 @@ def media_png_rows(n_media=30, max_side=16):
     return rows
 
 
+def media_jpeg_rows(n_media=30, max_side=16):
+    """Golden for media_jpeg_real. JPEG is LOSSY, so the golden is the
+    pure block-math reference (jpeg.reference_roundtrip: DCT → quantize
+    → dequantize → IDCT, no marker/Huffman/byte code) over the same
+    deterministic pixels — the engine path additionally runs the full
+    T.81 entropy layer (zigzag, DC prediction, canonical Huffman, 0xFF
+    stuffing), so any defect there shifts coefficients and diverges.
+    Same shared-constructor category as media_png_rows."""
+    import numpy as np
+
+    from jsi_spark.ops.jpeg import reference_roundtrip
+    from jsi_spark.ops.png import pixel_stats, synth_dims, synth_pixels
+    rows = []
+    for i in range(0, n_media, 3):   # media_kind 'image' ⇔ i % 3 == 0
+        ref = f"m{i}"
+        w, h = synth_dims(ref, max_side)
+        gray = np.frombuffer(synth_pixels(ref, w, h, channels=1),
+                             dtype=np.uint8).reshape(h, w)
+        exp = reference_roundtrip(gray)
+        rgb = np.repeat(exp.reshape(-1, 1), 3, axis=1).tobytes()
+        st = pixel_stats(rgb, w, h)
+        q = [float(np.float32(x)) for x in st]
+        rows.append((ref, _round6(q[1]), _round6(q[4]), _round6(q[6]),
+                     _round6(q[14])))
+    return rows
+
+
 def media_resize_rows(n_media=30, max_side=8, src_max_side=16):
     """Golden for media_resize_real: nearest-neighbor resample + stats
     computed directly on the source pixels (no codec), against the
@@ -548,6 +575,10 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
              "aspect"],
             ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
              "DOUBLE"]),
+        "media_jpeg_real": values_sql(
+            media_jpeg_rows(),
+            ["media_ref", "mean_g", "var_g", "lum_h0", "aspect"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"]),
         "media_wav_real": values_sql(
             media_wav_rows(),
             ["media_ref", "rms", "peak", "zcr", "dur_s"],

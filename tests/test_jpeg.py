@@ -1,0 +1,140 @@
+"""Pure-numpy baseline JPEG codec (jsi_spark.ops.jpeg) + the real
+decode path.
+
+The oracle-style check: JPEG is lossy, so correctness is defined as
+``decode(encode(x)) == reference_roundtrip(x)`` BIT-FOR-BIT — the
+reference is the pure block math (DCT → quantize → dequantize → IDCT)
+with no marker/Huffman/byte code, so any defect in the entropy layer
+(zigzag, DC prediction, canonical Huffman, 0xFF stuffing, padding)
+diverges. Everything here runs without Spark except the final
+mapInPandas integration test.
+"""
+
+import numpy as np
+import pytest
+
+from jsi_spark.ops.jpeg import (
+    JpegFormatError, decode_jpeg, encode_jpeg, is_jpeg,
+    reference_roundtrip,
+)
+from jsi_spark.ops.multimodal import _real_decode_features
+from jsi_spark.ops.png import pixel_stats, synth_dims, synth_pixels
+
+
+def _gray(ref: str, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(synth_pixels(ref, w, h, channels=1),
+                         dtype=np.uint8).reshape(h, w)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 16), (13, 9), (5, 7),
+                                 (8, 24), (31, 17), (1, 1), (9, 1)])
+def test_roundtrip_equals_reference(w, h):
+    img = _gray(f"jp{w}x{h}", w, h)
+    payload = encode_jpeg(img.tobytes(), w, h)
+    assert is_jpeg(payload)
+    dw, dh, dec = decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+    got = np.frombuffer(dec, dtype=np.uint8).reshape(h, w)
+    assert np.array_equal(got, reference_roundtrip(img)), \
+        "entropy layer diverged from the block-math reference"
+
+
+def test_quantization_error_bounded():
+    """Sanity: the lossy error vs the SOURCE is quantization-sized,
+    not garbage (SHA-noise images are the worst case for JPEG)."""
+    img = _gray("jq", 16, 16)
+    _, _, dec = decode_jpeg(encode_jpeg(img.tobytes(), 16, 16))
+    err = np.abs(np.frombuffer(dec, np.uint8).astype(int)
+                 - img.reshape(-1).astype(int))
+    assert err.mean() < 30
+    # smooth content survives nearly exactly
+    smooth = np.tile(np.arange(16, dtype=np.uint8) * 8, (16, 1))
+    _, _, dec2 = decode_jpeg(encode_jpeg(smooth.tobytes(), 16, 16))
+    err2 = np.abs(np.frombuffer(dec2, np.uint8).astype(int)
+                  - smooth.reshape(-1).astype(int))
+    assert err2.mean() < 4
+
+
+def test_byte_stuffing_roundtrip():
+    """A checkerboard provably emits 0xFF bytes into the entropy
+    stream; the stuffed 0xFF 0x00 must survive the round trip."""
+    img = (np.indices((16, 16)).sum(0) % 2 * 255).astype(np.uint8)
+    payload = encode_jpeg(img.tobytes(), 16, 16)
+    scan = payload[payload.find(b"\xff\xda"):]
+    assert b"\xff\x00" in scan, "test premise: stuffing occurs"
+    _, _, dec = decode_jpeg(payload)
+    got = np.frombuffer(dec, np.uint8).reshape(16, 16)
+    assert np.array_equal(got, reference_roundtrip(img))
+
+
+def test_dc_prediction_across_blocks():
+    """A wide image (many blocks) with a strong DC ramp exercises DC
+    diff coding with large positive and negative categories."""
+    img = np.repeat(np.arange(0, 256, 8, dtype=np.uint8)[None, :],
+                    8, axis=0)
+    img = np.repeat(img, 8, axis=1)  # 8 x 256: 32 blocks, DC ramp
+    payload = encode_jpeg(img.tobytes(), 256, 8)
+    _, _, dec = decode_jpeg(payload)
+    got = np.frombuffer(dec, np.uint8).reshape(8, 256)
+    assert np.array_equal(got, reference_roundtrip(img))
+
+
+def test_malformed_rejected():
+    with pytest.raises(JpegFormatError, match="signature"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS
+    good = encode_jpeg(synth_pixels("trunc", 8, 8, 1), 8, 8)
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(good[:40])
+    # color / progressive declared out of subset by NAME
+    sof2 = bytearray(good)
+    sof2[sof2.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(JpegFormatError, match="baseline"):
+        decode_jpeg(bytes(sof2))
+
+
+def test_tables_read_from_stream_not_assumed():
+    """Halving the DQT table in the byte stream must change the decode
+    (the decoder honors the stream's table, like any real reader)."""
+    img = _gray("jt", 16, 16)
+    payload = bytearray(encode_jpeg(img.tobytes(), 16, 16))
+    q = payload.find(b"\xff\xdb") + 5   # FFDB len(2) PqTq, then 64 vals
+    orig = decode_jpeg(bytes(payload))[2]
+    payload[q:q + 64] = bytes(max(1, b // 2)
+                              for b in payload[q:q + 64])
+    assert decode_jpeg(bytes(payload))[2] != orig
+
+
+def test_real_decode_features_dispatches_jpeg():
+    w, h = synth_dims("mj")
+    payload = encode_jpeg(synth_pixels("mj", w, h, channels=1), w, h)
+    feats = _real_decode_features(payload)
+    assert len(feats) == 16
+    # gray promoted to RGB: the three channel means are identical
+    assert feats[0] == feats[1] == feats[2]
+
+
+def _golden_jpeg_stats(ref: str, max_side: int = 16):
+    """Codec-free golden: stats over the pure-math reference pixels."""
+    w, h = synth_dims(ref, max_side)
+    exp = reference_roundtrip(_gray(ref, w, h))
+    rgb = np.repeat(exp.reshape(-1, 1), 3, axis=1).tobytes()
+    return pixel_stats(rgb, w, h)
+
+
+def test_extract_features_real_distributed(spark):
+    """End-to-end through mapInPandas: encode on executors, decode on
+    executors, stats match the block-math reference golden."""
+    from jsi_spark.ops.multimodal import extract_features, synth_jpeg_media
+    from jsi_spark.session import ensure_py_files
+    ensure_py_files(spark)
+    dim = spark.createDataFrame(
+        [(f"m{i}", "image") for i in range(6)],
+        "media_ref string, media_kind string")
+    media = synth_jpeg_media(dim)
+    out = {r["media_ref"]: r["features"]
+           for r in extract_features(media, decode="real").collect()}
+    assert len(out) == 6
+    for ref, feats in out.items():
+        assert feats == pytest.approx(_golden_jpeg_stats(ref), rel=1e-6)

@@ -100,9 +100,11 @@ def test_real_decode_features_promotes_to_rgb():
     assert len(_real_decode_features(rgba)) == 16
 
 
-def test_real_decode_rejects_non_png():
+def test_real_decode_rejects_unknown_format():
+    # JPEG now dispatches to its own codec; an MP4-ish payload is the
+    # remaining named plug point
     with pytest.raises(NotImplementedError, match="PNG"):
-        _real_decode_features(b"\xff\xd8\xff\xe0 jpeg-ish")
+        _real_decode_features(b"\x00\x00\x00\x18ftypmp42 video-ish")
 
 
 def test_extract_features_real_distributed(spark):
