@@ -332,12 +332,14 @@ def resize_images(media: DataFrame, max_side: int = 256,
 
     ``decode="fake"`` (default): metadata-only — target dimensions as
     pure Column math, payload untouched (the planning/bookkeeping half
-    of the operator, format-agnostic). ``decode="real"``: PNG payloads
-    are decoded (stdlib codec), nearest-neighbor resampled, re-encoded;
-    rows come back in MEDIA_SCHEMA with the new dimensions. Non-PNG
-    payloads raise NotImplementedError at the codec plug point."""
+    of the operator, format-agnostic). ``decode="real"``: PNG and
+    grayscale-JPEG payloads are decoded, nearest-neighbor resampled,
+    and re-encoded as PNG (the lossless choice — a resize stage must
+    not stack a second generation of quantization loss on lossy
+    inputs); rows come back in MEDIA_SCHEMA with the new dimensions.
+    Other payloads raise NotImplementedError at the codec plug point."""
     if decode == "real":
-        from jsi_spark.ops import png
+        from jsi_spark.ops import jpeg, png
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -345,11 +347,16 @@ def resize_images(media: DataFrame, max_side: int = 256,
                 for ref, kind, payload in zip(pdf["media_ref"],
                                               pdf["media_kind"],
                                               pdf["payload"]):
-                    if not png.is_png(payload):
+                    if jpeg.is_jpeg(payload):
+                        w, h, px = jpeg.decode_jpeg(bytes(payload))
+                        ch = 1
+                    elif png.is_png(payload):
+                        w, h, ch, px = png.decode_png(bytes(payload))
+                    else:
                         raise NotImplementedError(
-                            "resize decode='real' covers PNG; other "
-                            "formats need PIL — plug the codec in here")
-                    w, h, ch, px = png.decode_png(bytes(payload))
+                            "resize decode='real' covers PNG and "
+                            "grayscale baseline JPEG; other formats "
+                            "need PIL — plug the codec in here")
                     tw, th = png.target_dims(w, h, max_side)
                     out = png.encode_png(
                         png.resample_nearest(px, w, h, tw, th, ch),

@@ -138,3 +138,30 @@ def test_extract_features_real_distributed(spark):
     assert len(out) == 6
     for ref, feats in out.items():
         assert feats == pytest.approx(_golden_jpeg_stats(ref), rel=1e-6)
+
+
+def test_resize_images_real_jpeg_to_png(spark):
+    """JPEG in → decoded → resampled → re-encoded LOSSLESSLY as PNG
+    (a resize stage must not stack a second quantization generation);
+    pixels equal the pure-math reference resampled the same way."""
+    from jsi_spark.ops.multimodal import resize_images, synth_jpeg_media
+    from jsi_spark.ops.png import (
+        decode_png, resample_nearest, target_dims,
+    )
+    from jsi_spark.session import ensure_py_files
+    ensure_py_files(spark)
+    dim = spark.createDataFrame(
+        [(f"m{i}", "image") for i in range(4)],
+        "media_ref string, media_kind string")
+    out = resize_images(synth_jpeg_media(dim), max_side=8,
+                        decode="real").collect()
+    assert len(out) == 4
+    for r in out:
+        w, h = synth_dims(r["media_ref"])
+        exp = reference_roundtrip(_gray(r["media_ref"], w, h))
+        tw, th = target_dims(w, h, 8)
+        assert (r["width"], r["height"]) == (tw, th)
+        dw, dh, ch, px = decode_png(bytes(r["payload"]))
+        assert (dw, dh, ch) == (tw, th, 1)
+        assert px == resample_nearest(exp.tobytes(), w, h, tw, th,
+                                      channels=1)
