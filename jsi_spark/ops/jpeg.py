@@ -1,16 +1,17 @@
 """Minimal pure-numpy baseline JPEG codec (ITU-T T.81) for the
-multimodal decode path — grayscale (single-component) baseline DCT,
-the mandatory JPEG subset: SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers,
-8x8 forward/inverse DCT with quantization, zigzag ordering, DC
-prediction, canonical Huffman entropy coding with the Annex-K
-luminance tables, and 0xFF byte stuffing.
+multimodal decode path — grayscale (single-component) and 4:4:4 color
+(three-component YCbCr, MCU-interleaved) baseline DCT:
+SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, 8x8 forward/inverse DCT with
+quantization, zigzag ordering, per-component DC prediction, canonical
+Huffman entropy coding with the Annex-K luminance + chrominance
+tables, the JFIF full-range color transform, and 0xFF byte stuffing.
 
 This de-stubs the JPEG plug point the same way ops/png (zlib
 scanlines) and ops/gif (LZW) did for their formats: the container has
 no image libraries, but baseline JPEG's pipeline is implementable on
-numpy + stdlib. Color (multi-component, chroma subsampling),
-progressive scans, and restart intervals raise ``JpegFormatError`` —
-named, at decode time.
+numpy + stdlib. Chroma subsampling (4:2:0/4:2:2), progressive scans,
+and restart intervals raise ``JpegFormatError`` — named, at decode
+time.
 
 Because JPEG is LOSSY, the golden oracle cannot compare against the
 source pixels. Instead :func:`reference_roundtrip` defines the
@@ -30,7 +31,8 @@ import numpy as np
 
 __all__ = [
     "JpegFormatError", "is_jpeg", "encode_jpeg", "decode_jpeg",
-    "reference_roundtrip", "QUANT_LUMA",
+    "encode_jpeg_color", "reference_roundtrip",
+    "reference_roundtrip_color", "QUANT_LUMA", "QUANT_CHROMA",
 ]
 
 
@@ -58,10 +60,42 @@ QUANT_LUMA = np.array([
     [49, 64, 78, 87, 103, 121, 120, 101],
     [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
 
+#: chrominance quantization table (Annex K Table K.2), natural order
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
 #: DC luminance Huffman spec: BITS[i] = #codes of length i+1, then the
 #: symbol values in code order (canonical construction, T.81 C.2)
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
+
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
 
 _AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _AC_VALS = [
@@ -114,6 +148,8 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
 
 _DC_ENC = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_VALS)
+_DC_C_ENC = _canonical_codes(_DC_C_BITS, _DC_C_VALS)
+_AC_C_ENC = _canonical_codes(_AC_C_BITS, _AC_C_VALS)
 
 
 # -- shared float kernels (encoder, decoder, AND reference) -----------------
@@ -128,12 +164,13 @@ def _dct_mat() -> np.ndarray:
 _D = _dct_mat()
 
 
-def _blocks_of(gray: np.ndarray) -> np.ndarray:
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
     """Pad (edge-replicate) to multiples of 8 and split into
-    (rows, cols, 8, 8) float64 blocks, level-shifted by -128."""
-    h, w = gray.shape
+    (rows, cols, 8, 8) float64 blocks, level-shifted by -128. Accepts
+    uint8 (grayscale) or float64 (YCbCr) planes."""
+    h, w = plane.shape
     ph, pw = (-h) % 8, (-w) % 8
-    padded = np.pad(gray.astype(np.float64) - 128.0,
+    padded = np.pad(plane.astype(np.float64) - 128.0,
                     ((0, ph), (0, pw)), mode="edge")
     bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
     return padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3), bh, bw
@@ -144,9 +181,36 @@ def _fdct_quant(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return np.round(coef / qt).astype(np.int32)
 
 
+def _dequant_idct_f(coef: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Float IDCT block WITHOUT the final round/clip — the color path
+    must round only once, after the YCbCr→RGB transform."""
+    return _D.T @ (coef * qt).astype(np.float64) @ _D
+
+
 def _dequant_idct(coef: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    block = _D.T @ (coef * qt).astype(np.float64) @ _D
-    return np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+    return np.clip(np.round(_dequant_idct_f(coef, qt) + 128.0),
+                   0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray):
+    """JFIF full-range color transform, float64 planes (shared by the
+    encoder AND the pure-math reference — same ops, same order)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.331264 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray,
+                  cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
 
 
 def reference_roundtrip(gray: np.ndarray,
@@ -163,6 +227,33 @@ def reference_roundtrip(gray: np.ndarray,
             out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = _dequant_idct(
                 _fdct_quant(blocks[r, c], qt), qt)
     return out[:h, :w]
+
+
+def _plane_roundtrip_f(plane: np.ndarray, qt: np.ndarray,
+                       h: int, w: int) -> np.ndarray:
+    """Float DCT→quant→dequant→IDCT of one plane (no round/clip)."""
+    blocks, bh, bw = _blocks_of(plane)
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    for r in range(bh):
+        for c in range(bw):
+            out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = _dequant_idct_f(
+                _fdct_quant(blocks[r, c], qt), qt) + 128.0
+    return out[:h, :w]
+
+
+def reference_roundtrip_color(rgb: np.ndarray,
+                              qt_luma: np.ndarray = QUANT_LUMA,
+                              qt_chroma: np.ndarray = QUANT_CHROMA
+                              ) -> np.ndarray:
+    """Color (4:4:4) analog of :func:`reference_roundtrip`: RGB →
+    YCbCr → per-plane DCT/quant/dequant/IDCT → RGB, same float kernels
+    as the codec, single final round/clip. decode(encode_color(x))
+    must equal this bit-for-bit."""
+    h, w = rgb.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    return _ycbcr_to_rgb(_plane_roundtrip_f(y, qt_luma, h, w),
+                         _plane_roundtrip_f(cb, qt_chroma, h, w),
+                         _plane_roundtrip_f(cr, qt_chroma, h, w))
 
 
 # -- bit I/O with 0xFF stuffing ----------------------------------------------
@@ -248,6 +339,52 @@ def _extend(bits: int, ssss: int) -> int:
 
 # -- encoder -----------------------------------------------------------------
 
+def _encode_block(wr: _BitWriter, coef: np.ndarray, pred: int,
+                  dc_enc: dict, ac_enc: dict) -> int:
+    """Entropy-encode one quantized block; returns the new DC pred."""
+    zz = coef.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    ssss, bits = _magnitude(diff)
+    code, length = dc_enc[ssss]
+    wr.write(code, length)
+    if ssss:
+        wr.write(bits, ssss)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]               # ZRL = 16 zeros
+            wr.write(zc, zl)
+            run -= 16
+        ssss, bits = _magnitude(v)
+        code, length = ac_enc[(run << 4) | ssss]
+        wr.write(code, length)
+        wr.write(bits, ssss)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]                   # EOB
+        wr.write(ec, el)
+    return int(zz[0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _zz_bytes(qt: np.ndarray) -> bytes:
+    return qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+
+
+_JFIF = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+_DHT_LUMA = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+             + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+_DHT_CHROMA = (bytes([0x01]) + bytes(_DC_C_BITS) + bytes(_DC_C_VALS)
+               + bytes([0x11]) + bytes(_AC_C_BITS) + bytes(_AC_C_VALS))
+
+
 def encode_jpeg(gray: bytes, width: int, height: int,
                 qt: np.ndarray = QUANT_LUMA) -> bytes:
     """Encode 8-bit grayscale bytes (row-major) as baseline JFIF."""
@@ -261,64 +398,71 @@ def encode_jpeg(gray: bytes, width: int, height: int,
     pred = 0
     for r in range(bh):
         for c in range(bw):
-            coef = _fdct_quant(blocks[r, c], qt)
-            zz = coef.reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            ssss, bits = _magnitude(diff)
-            code, length = _DC_ENC[ssss]
-            wr.write(code, length)
-            if ssss:
-                wr.write(bits, ssss)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = _AC_ENC[0xF0]      # ZRL = 16 zeros
-                    wr.write(zc, zl)
-                    run -= 16
-                ssss, bits = _magnitude(v)
-                code, length = _AC_ENC[(run << 4) | ssss]
-                wr.write(code, length)
-                wr.write(bits, ssss)
-                run = 0
-            if run:
-                ec, el = _AC_ENC[0x00]          # EOB
-                wr.write(ec, el)
-    scan = wr.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    zz_qt = qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
-    dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-           + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+            pred = _encode_block(wr, _fdct_quant(blocks[r, c], qt),
+                                 pred, _DC_ENC, _AC_ENC)
     return (b"\xff\xd8"
-            + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-            + seg(0xFFDB, bytes([0x00]) + zz_qt)
-            + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
-                  + bytes([1, 0x11, 0]))
-            + seg(0xFFC4, dht)
-            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-            + scan + b"\xff\xd9")
+            + _seg(0xFFE0, _JFIF)
+            + _seg(0xFFDB, bytes([0x00]) + _zz_bytes(qt))
+            + _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+                   + bytes([1, 0x11, 0]))
+            + _seg(0xFFC4, _DHT_LUMA)
+            + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + wr.flush() + b"\xff\xd9")
+
+
+def encode_jpeg_color(rgb: bytes, width: int, height: int,
+                      qt_luma: np.ndarray = QUANT_LUMA,
+                      qt_chroma: np.ndarray = QUANT_CHROMA) -> bytes:
+    """Encode 8-bit RGB bytes (row-major) as baseline 4:4:4 color JFIF:
+    three components (Y with the luminance tables, Cb/Cr with the
+    chrominance tables), all 1x1 sampling, MCU-interleaved
+    Y-Cb-Cr blocks with independent DC predictors (T.81 E.2.3)."""
+    if len(rgb) != width * height * 3:
+        raise JpegFormatError(
+            f"pixel buffer {len(rgb)} != {width}x{height}x3")
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
+        height, width, 3)
+    y, cb, cr = _rgb_to_ycbcr(arr)
+    comps = [(_blocks_of(y)[0], qt_luma, _DC_ENC, _AC_ENC),
+             (_blocks_of(cb)[0], qt_chroma, _DC_C_ENC, _AC_C_ENC),
+             (_blocks_of(cr)[0], qt_chroma, _DC_C_ENC, _AC_C_ENC)]
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    wr = _BitWriter()
+    preds = [0, 0, 0]
+    for r in range(bh):
+        for c in range(bw):
+            for ci, (blocks, qt, dce, ace) in enumerate(comps):
+                preds[ci] = _encode_block(
+                    wr, _fdct_quant(blocks[r, c], qt), preds[ci],
+                    dce, ace)
+    sof = (struct.pack(">BHHB", 8, height, width, 3)
+           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+           + bytes([3, 0x11, 1]))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (b"\xff\xd8"
+            + _seg(0xFFE0, _JFIF)
+            + _seg(0xFFDB, bytes([0x00]) + _zz_bytes(qt_luma)
+                   + bytes([0x01]) + _zz_bytes(qt_chroma))
+            + _seg(0xFFC0, sof)
+            + _seg(0xFFC4, _DHT_LUMA + _DHT_CHROMA)
+            + _seg(0xFFDA, sos)
+            + wr.flush() + b"\xff\xd9")
 
 
 # -- decoder -----------------------------------------------------------------
 
 def decode_jpeg(data: bytes):
-    """Decode a single-component baseline JPEG →
-    ``(width, height, gray: bytes)``. Quantization and Huffman tables
-    are read from the stream (DQT/DHT), not assumed."""
+    """Decode a baseline JPEG (grayscale or 4:4:4 color) →
+    ``(width, height, channels, pixels: bytes)`` — channels is 1
+    (gray) or 3 (RGB, converted back from YCbCr). Quantization and
+    Huffman tables are read from the stream (DQT/DHT), not assumed."""
     if not is_jpeg(data):
         raise JpegFormatError("bad JPEG signature")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = dc_id = ac_id = None
+    comps: list[tuple[int, int]] = []     # SOF order: (component id, Tq)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
@@ -355,13 +499,17 @@ def decode_jpeg(data: bytes):
             prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegFormatError(f"precision {prec} unsupported")
-            if nf != 1:
+            if nf not in (1, 3):
                 raise JpegFormatError(
-                    "multi-component (color) JPEG unsupported — "
-                    "grayscale baseline only; plug a full codec here")
-            if body[7] != 0x11:
-                raise JpegFormatError("subsampling unsupported")
-            comp_q = body[8]
+                    f"{nf}-component JPEG unsupported (grayscale or "
+                    "4:4:4 color baseline only)")
+            for i in range(nf):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise JpegFormatError(
+                        "chroma subsampling unsupported (4:4:4 only "
+                        "— plug a full codec here)")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
@@ -369,48 +517,85 @@ def decode_jpeg(data: bytes):
         elif marker == 0xDD:
             raise JpegFormatError("restart intervals unsupported")
         elif marker == 0xDA:          # SOS: entropy data follows
-            if body[0] != 1:
-                raise JpegFormatError("one scan component expected")
-            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            ns = body[0]
+            if width is None:
+                raise JpegFormatError("SOS before SOF")
+            if ns != len(comps):
+                raise JpegFormatError(
+                    "interleaved scan over all components expected")
+            tabs = []                 # in SOF order: (qt, dc, ac)
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                cid, tq = comps[i]
+                if cs != cid:
+                    raise JpegFormatError(
+                        "scan component order must match SOF")
+                tabs.append((qtables[tq], htables[(0, tdta >> 4)],
+                             htables[(1, tdta & 15)]))
             pos = pos + 2 + length
             scan_end = data.rfind(b"\xff\xd9")
             if scan_end < 0:
                 raise JpegFormatError("missing EOI")
-            return _decode_scan(data[pos:scan_end], width, height,
-                                qtables[comp_q],
-                                htables[(0, dc_id)], htables[(1, ac_id)])
+            return _decode_scan(data[pos:scan_end], width, height, tabs)
         pos += 2 + length
     raise JpegFormatError("no SOS marker")
 
 
-def _decode_scan(scan: bytes, width: int, height: int, qt: np.ndarray,
-                 dc_tab: dict, ac_tab: dict):
+def _decode_one_block(rd: _BitReader, pred: int, qt: np.ndarray,
+                      dc_tab: dict, ac_tab: dict):
+    """Entropy-decode one block → (new pred, natural-order coef)."""
+    zz = np.zeros(64, dtype=np.int32)
+    ssss = _decode_symbol(rd, dc_tab)
+    pred += _extend(rd.read(ssss), ssss)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(rd, ac_tab)
+        rrrr, ssss = sym >> 4, sym & 15
+        if ssss == 0:
+            if rrrr == 15:
+                k += 16               # ZRL
+                continue
+            break                     # EOB
+        k += rrrr
+        if k > 63:
+            raise JpegFormatError("coefficient index overflow")
+        zz[k] = _extend(rd.read(ssss), ssss)
+        k += 1
+    coef = np.zeros(64, dtype=np.int32)
+    coef[_ZIGZAG] = zz
+    return pred, coef.reshape(8, 8)
+
+
+def _decode_scan(scan: bytes, width: int, height: int, tabs: list):
+    """MCU-interleaved decode of 1 (gray) or 3 (YCbCr 4:4:4)
+    components, each 1x1-sampled — one block per component per MCU,
+    independent DC predictors."""
     rd = _BitReader(scan)
     bh, bw = (height + 7) // 8, (width + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    pred = 0
+    nc = len(tabs)
+    if nc == 1:
+        out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        pred = 0
+        qt, dc_tab, ac_tab = tabs[0]
+        for r in range(bh):
+            for c in range(bw):
+                pred, coef = _decode_one_block(rd, pred, qt, dc_tab,
+                                               ac_tab)
+                out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = _dequant_idct(
+                    coef, qt)
+        return width, height, 1, out[:height, :width].tobytes()
+    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64)
+              for _ in range(nc)]
+    preds = [0] * nc
     for r in range(bh):
         for c in range(bw):
-            zz = np.zeros(64, dtype=np.int32)
-            ssss = _decode_symbol(rd, dc_tab)
-            pred += _extend(rd.read(ssss), ssss)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _decode_symbol(rd, ac_tab)
-                rrrr, ssss = sym >> 4, sym & 15
-                if ssss == 0:
-                    if rrrr == 15:
-                        k += 16       # ZRL
-                        continue
-                    break             # EOB
-                k += rrrr
-                if k > 63:
-                    raise JpegFormatError("coefficient index overflow")
-                zz[k] = _extend(rd.read(ssss), ssss)
-                k += 1
-            coef = np.zeros(64, dtype=np.int32)
-            coef[_ZIGZAG] = zz
-            out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = _dequant_idct(
-                coef.reshape(8, 8), qt)
-    return width, height, out[:height, :width].tobytes()
+            for ci, (qt, dc_tab, ac_tab) in enumerate(tabs):
+                preds[ci], coef = _decode_one_block(
+                    rd, preds[ci], qt, dc_tab, ac_tab)
+                planes[ci][r * 8:r * 8 + 8, c * 8:c * 8 + 8] = \
+                    _dequant_idct_f(coef, qt) + 128.0
+    rgb = _ycbcr_to_rgb(planes[0][:height, :width],
+                        planes[1][:height, :width],
+                        planes[2][:height, :width])
+    return width, height, 3, rgb.tobytes()

@@ -9,10 +9,10 @@ environment. ``decode="real"`` decodes payloads with the pure-
 stdlib/numpy codecs — PNG (:mod:`jsi_spark.ops.png`, zlib scanlines +
 the 5 predictor filters), 16-bit PCM WAV (:mod:`jsi_spark.ops.wav`),
 animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW), and
-grayscale baseline JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT +
-canonical Huffman) — and derives features from the actual
-pixels/samples/frames; other formats (MP4, color/progressive JPEG,
-...) still raise NotImplementedError at the exact point
+baseline JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT + canonical
+Huffman — grayscale and 4:4:4 color) — and derives features from the actual
+pixels/samples/frames; other formats (MP4, subsampled/progressive
+JPEG, ...) still raise NotImplementedError at the exact point
 PIL/librosa/ffmpeg would plug in.
 """
 
@@ -264,11 +264,13 @@ def _real_decode_features(payload: bytes):
         rate, ch, samples = wav.decode_wav(bytes(payload))
         return [float(x) for x in wav.audio_stats(samples, rate, ch)]
     if jpeg.is_jpeg(payload):
-        w, h, gray = jpeg.decode_jpeg(bytes(payload))
-        rgb = bytearray(w * h * 3)
-        for p in range(w * h):      # promote gray to RGB for uniform stats
-            rgb[p * 3:p * 3 + 3] = gray[p:p + 1] * 3
-        return [float(x) for x in png.pixel_stats(bytes(rgb), w, h)]
+        w, h, ch, px = jpeg.decode_jpeg(bytes(payload))
+        if ch == 1:                 # promote gray to RGB for uniform stats
+            rgb = bytearray(w * h * 3)
+            for p in range(w * h):
+                rgb[p * 3:p * 3 + 3] = px[p:p + 1] * 3
+            px = bytes(rgb)
+        return [float(x) for x in png.pixel_stats(px, w, h)]
     if gif.is_gif(payload):
         # clip-level features: pixel stats of the first frame (frame-
         # granular work goes through sample_frames, which explodes to
@@ -279,8 +281,9 @@ def _real_decode_features(payload: bytes):
     if not png.is_png(payload):
         raise NotImplementedError(
             "decode='real' covers PNG (stdlib zlib), PCM WAV (stdlib "
-            "wave), animated GIF (stdlib LZW), and grayscale baseline "
-            "JPEG (numpy T.81); other formats (MP4, ...) need "
+            "wave), animated GIF (stdlib LZW), and baseline JPEG "
+            "(numpy T.81, gray + 4:4:4 color); other formats (MP4, "
+            "...) need "
             "PIL/librosa/ffmpeg — plug the codec in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:
@@ -333,7 +336,7 @@ def resize_images(media: DataFrame, max_side: int = 256,
     ``decode="fake"`` (default): metadata-only — target dimensions as
     pure Column math, payload untouched (the planning/bookkeeping half
     of the operator, format-agnostic). ``decode="real"``: PNG and
-    grayscale-JPEG payloads are decoded, nearest-neighbor resampled,
+    baseline-JPEG payloads are decoded, nearest-neighbor resampled,
     and re-encoded as PNG (the lossless choice — a resize stage must
     not stack a second generation of quantization loss on lossy
     inputs); rows come back in MEDIA_SCHEMA with the new dimensions.
@@ -348,14 +351,13 @@ def resize_images(media: DataFrame, max_side: int = 256,
                                               pdf["media_kind"],
                                               pdf["payload"]):
                     if jpeg.is_jpeg(payload):
-                        w, h, px = jpeg.decode_jpeg(bytes(payload))
-                        ch = 1
+                        w, h, ch, px = jpeg.decode_jpeg(bytes(payload))
                     elif png.is_png(payload):
                         w, h, ch, px = png.decode_png(bytes(payload))
                     else:
                         raise NotImplementedError(
                             "resize decode='real' covers PNG and "
-                            "grayscale baseline JPEG; other formats "
+                            "baseline JPEG; other formats "
                             "need PIL — plug the codec in here")
                     tw, th = png.target_dims(w, h, max_side)
                     out = png.encode_png(

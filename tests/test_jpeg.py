@@ -32,8 +32,8 @@ def test_roundtrip_equals_reference(w, h):
     img = _gray(f"jp{w}x{h}", w, h)
     payload = encode_jpeg(img.tobytes(), w, h)
     assert is_jpeg(payload)
-    dw, dh, dec = decode_jpeg(payload)
-    assert (dw, dh) == (w, h)
+    dw, dh, ch, dec = decode_jpeg(payload)
+    assert (dw, dh, ch) == (w, h, 1)
     got = np.frombuffer(dec, dtype=np.uint8).reshape(h, w)
     assert np.array_equal(got, reference_roundtrip(img)), \
         "entropy layer diverged from the block-math reference"
@@ -43,13 +43,13 @@ def test_quantization_error_bounded():
     """Sanity: the lossy error vs the SOURCE is quantization-sized,
     not garbage (SHA-noise images are the worst case for JPEG)."""
     img = _gray("jq", 16, 16)
-    _, _, dec = decode_jpeg(encode_jpeg(img.tobytes(), 16, 16))
+    _, _, _, dec = decode_jpeg(encode_jpeg(img.tobytes(), 16, 16))
     err = np.abs(np.frombuffer(dec, np.uint8).astype(int)
                  - img.reshape(-1).astype(int))
     assert err.mean() < 30
     # smooth content survives nearly exactly
     smooth = np.tile(np.arange(16, dtype=np.uint8) * 8, (16, 1))
-    _, _, dec2 = decode_jpeg(encode_jpeg(smooth.tobytes(), 16, 16))
+    _, _, _, dec2 = decode_jpeg(encode_jpeg(smooth.tobytes(), 16, 16))
     err2 = np.abs(np.frombuffer(dec2, np.uint8).astype(int)
                   - smooth.reshape(-1).astype(int))
     assert err2.mean() < 4
@@ -62,7 +62,7 @@ def test_byte_stuffing_roundtrip():
     payload = encode_jpeg(img.tobytes(), 16, 16)
     scan = payload[payload.find(b"\xff\xda"):]
     assert b"\xff\x00" in scan, "test premise: stuffing occurs"
-    _, _, dec = decode_jpeg(payload)
+    _, _, _, dec = decode_jpeg(payload)
     got = np.frombuffer(dec, np.uint8).reshape(16, 16)
     assert np.array_equal(got, reference_roundtrip(img))
 
@@ -74,7 +74,7 @@ def test_dc_prediction_across_blocks():
                     8, axis=0)
     img = np.repeat(img, 8, axis=1)  # 8 x 256: 32 blocks, DC ramp
     payload = encode_jpeg(img.tobytes(), 256, 8)
-    _, _, dec = decode_jpeg(payload)
+    _, _, _, dec = decode_jpeg(payload)
     got = np.frombuffer(dec, np.uint8).reshape(8, 256)
     assert np.array_equal(got, reference_roundtrip(img))
 
@@ -100,10 +100,10 @@ def test_tables_read_from_stream_not_assumed():
     img = _gray("jt", 16, 16)
     payload = bytearray(encode_jpeg(img.tobytes(), 16, 16))
     q = payload.find(b"\xff\xdb") + 5   # FFDB len(2) PqTq, then 64 vals
-    orig = decode_jpeg(bytes(payload))[2]
+    orig = decode_jpeg(bytes(payload))[3]
     payload[q:q + 64] = bytes(max(1, b // 2)
                               for b in payload[q:q + 64])
-    assert decode_jpeg(bytes(payload))[2] != orig
+    assert decode_jpeg(bytes(payload))[3] != orig
 
 
 def test_real_decode_features_dispatches_jpeg():
@@ -165,3 +165,67 @@ def test_resize_images_real_jpeg_to_png(spark):
         assert (dw, dh, ch) == (tw, th, 1)
         assert px == resample_nearest(exp.tobytes(), w, h, tw, th,
                                       channels=1)
+
+
+def _rgb(ref: str, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(synth_pixels(ref, w, h, channels=3),
+                         dtype=np.uint8).reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 16), (13, 9), (5, 7),
+                                 (1, 1)])
+def test_color_roundtrip_equals_reference(w, h):
+    """4:4:4 color: three interleaved components, two quant tables,
+    four Huffman tables, independent DC predictors — must match the
+    pure-math color reference bit-for-bit."""
+    from jsi_spark.ops.jpeg import (
+        encode_jpeg_color, reference_roundtrip_color,
+    )
+    img = _rgb(f"jc{w}x{h}", w, h)
+    payload = encode_jpeg_color(img.tobytes(), w, h)
+    dw, dh, ch, dec = decode_jpeg(payload)
+    assert (dw, dh, ch) == (w, h, 3)
+    got = np.frombuffer(dec, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, reference_roundtrip_color(img))
+
+
+def test_color_constant_image_stays_flat():
+    """A flat color stays perfectly flat through the lossy pipeline
+    (only DC terms survive), shifted at most by one DC quant step
+    propagated through the color transform (luma step 16, chroma 17 →
+    worst case ~|1.402|*8.5 + 8 ≈ 20 in a channel)."""
+    from jsi_spark.ops.jpeg import encode_jpeg_color
+    img = np.empty((16, 16, 3), dtype=np.uint8)
+    img[:] = (200, 100, 50)
+    _, _, _, dec = decode_jpeg(encode_jpeg_color(img.tobytes(), 16, 16))
+    got = np.frombuffer(dec, np.uint8).reshape(16, 16, 3)
+    assert len(np.unique(got.reshape(-1, 3), axis=0)) == 1, "not flat"
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 21
+
+
+def test_color_features_dispatch():
+    """extract_features' magic-byte dispatch handles color JPEG: three
+    distinct channel means (no gray promotion)."""
+    from jsi_spark.ops.jpeg import encode_jpeg_color
+    img = _rgb("mjc", 12, 10)
+    feats = _real_decode_features(encode_jpeg_color(img.tobytes(), 12, 10))
+    assert len(feats) == 16
+    assert not (feats[0] == feats[1] == feats[2])
+
+
+def test_color_resize_to_png():
+    """resize path: color JPEG in → RGB PNG out, pixels equal the
+    color reference resampled."""
+    from jsi_spark.ops.jpeg import (
+        encode_jpeg_color, reference_roundtrip_color,
+    )
+    from jsi_spark.ops.png import decode_png, resample_nearest
+    img = _rgb("rjc", 16, 12)
+    payload = encode_jpeg_color(img.tobytes(), 16, 12)
+    w, h, ch, px = decode_jpeg(payload)
+    exp = reference_roundtrip_color(img)
+    assert px == exp.tobytes()
+    # the resample+re-encode chain used by resize_images(decode='real')
+    small = resample_nearest(px, 16, 12, 8, 6, channels=3)
+    from jsi_spark.ops.png import encode_png
+    assert decode_png(encode_png(small, 8, 6, color_type=2))[3] == small
