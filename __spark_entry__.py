@@ -735,6 +735,29 @@ def q_media_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("aspect"))
 
 
+def q_media_jpeg_color_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color (4:4:4 YCbCr) variant of media_jpeg_real: interleaved
+    three-component MCUs, chroma quant + Huffman tables, JFIF color
+    transform — golden is the pure block-math COLOR reference round
+    trip (oracles.media_jpeg_color_rows)."""
+    from jsi_spark.ops.multimodal import synth_jpeg_color_media
+    ensure_py_files(spark)
+    media = synth_jpeg_color_media(_media_dim(spark))
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_ref",
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .alias("mean_r"),
+        F.round(F.element_at("features", 2).cast("double"), 6)
+        .alias("mean_g"),
+        F.round(F.element_at("features", 3).cast("double"), 6)
+        .alias("mean_b"),
+        F.round(F.element_at("features", 7).cast("double"), 6)
+        .alias("lum_h0"),
+        F.round(F.element_at("features", 15).cast("double"), 6)
+        .alias("aspect"))
+
+
 def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio counterpart of media_png_real: deterministic 16-bit PCM
     WAV payloads round-tripped through the stdlib wave codec; the
@@ -952,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
         "media_jpeg_real": q_media_jpeg_real,
+        "media_jpeg_color_real": q_media_jpeg_color_real,
         "media_wav_real": q_media_wav_real,
         "media_resize_real": q_media_resize_real,
         "media_frames_real": q_media_frames_real,

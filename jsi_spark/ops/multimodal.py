@@ -125,6 +125,34 @@ def synth_jpeg_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
     return imgs.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_jpeg_color_media(media_dim: DataFrame,
+                           max_side: int = 16) -> DataFrame:
+    """Color variant of :func:`synth_jpeg_media`: the RGB SHA-256
+    pixel stream encoded through the 4:4:4 color T.81 path."""
+    from jsi_spark.ops import jpeg, png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                w, h = png.synth_dims(ref, max_side)
+                payload = jpeg.encode_jpeg_color(
+                    png.synth_pixels(ref, w, h, channels=3), w, h)
+                rows.append((ref, payload, w, h))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "width", "height"])
+            out["media_kind"] = "image"
+            out["duration_ms"] = pd.array([None] * len(out),
+                                          dtype="Int32")
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    ensure_py_files(media_dim.sparkSession)
+    imgs = media_dim.filter(F.col("media_kind") == "image") \
+        .select("media_ref")
+    return imgs.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def synth_wav_media(media_dim: DataFrame,
                     sample_rate: int = 16000) -> DataFrame:
     """Attach REAL (short, deterministic) 16-bit PCM WAV payloads to
