@@ -777,6 +777,32 @@ def q_media_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur_s"))
 
 
+def q_media_jpeg420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled variant of media_jpeg_color_real: the
+    dominant real-world JPEG form — 16x16 MCUs carrying four Y blocks
+    plus one Cb and one Cr over box-averaged quarter-resolution chroma
+    planes. Gates the generalized per-component sampling-factor decode
+    (T.81 A.2.3) and the shared downsample/upsample kernels against the
+    pure block-math 4:2:0 reference round trip
+    (oracles.media_jpeg420_rows)."""
+    from jsi_spark.ops.multimodal import synth_jpeg_color_media
+    ensure_py_files(spark)
+    media = synth_jpeg_color_media(_media_dim(spark), subsampling="420")
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_ref",
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .alias("mean_r"),
+        F.round(F.element_at("features", 2).cast("double"), 6)
+        .alias("mean_g"),
+        F.round(F.element_at("features", 3).cast("double"), 6)
+        .alias("mean_b"),
+        F.round(F.element_at("features", 7).cast("double"), 6)
+        .alias("lum_h0"),
+        F.round(F.element_at("features", 15).cast("double"), 6)
+        .alias("aspect"))
+
+
 def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming validation pass: the generic-path JSON
     validator runs over a file STREAM of events; per-window verdict
@@ -976,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_real": q_media_png_real,
         "media_jpeg_real": q_media_jpeg_real,
         "media_jpeg_color_real": q_media_jpeg_color_real,
+        "media_jpeg420_real": q_media_jpeg420_real,
         "media_wav_real": q_media_wav_real,
         "media_resize_real": q_media_resize_real,
         "media_frames_real": q_media_frames_real,

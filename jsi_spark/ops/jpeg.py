@@ -9,9 +9,12 @@ tables, the JFIF full-range color transform, and 0xFF byte stuffing.
 This de-stubs the JPEG plug point the same way ops/png (zlib
 scanlines) and ops/gif (LZW) did for their formats: the container has
 no image libraries, but baseline JPEG's pipeline is implementable on
-numpy + stdlib. Chroma subsampling (4:2:0/4:2:2), progressive scans,
-and restart intervals raise ``JpegFormatError`` — named, at decode
-time.
+numpy + stdlib. Chroma subsampling is supported for any per-component
+sampling factors in {1,2} — 4:2:0 (the dominant real-world form, with
+2x2 box-average downsampling at encode and nearest-replication
+upsampling at decode, T.81 A.1.1 MCU interleave) and 4:2:2/4:4:0 fall
+out of the same generalized MCU decode. Progressive scans and restart
+intervals raise ``JpegFormatError`` — named, at decode time.
 
 Because JPEG is LOSSY, the golden oracle cannot compare against the
 source pixels. Instead :func:`reference_roundtrip` defines the
@@ -32,7 +35,8 @@ import numpy as np
 __all__ = [
     "JpegFormatError", "is_jpeg", "encode_jpeg", "decode_jpeg",
     "encode_jpeg_color", "reference_roundtrip",
-    "reference_roundtrip_color", "QUANT_LUMA", "QUANT_CHROMA",
+    "reference_roundtrip_color", "reference_roundtrip_420",
+    "reference_roundtrip_subsampled", "QUANT_LUMA", "QUANT_CHROMA",
 ]
 
 
@@ -241,6 +245,43 @@ def _plane_roundtrip_f(plane: np.ndarray, qt: np.ndarray,
     return out[:h, :w]
 
 
+#: subsampling name -> luma (horizontal, vertical) sampling factors
+_SUBSAMPLINGS = {"444": (1, 1), "420": (2, 2), "422": (2, 1),
+                 "440": (1, 2)}
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """fx x fy box-average chroma downsample (float64, factors 1 or 2),
+    edge-replicating odd dimensions first — shared by the subsampled
+    encoder AND the pure-math reference so the golden stays bit-exact."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge")
+    if fy == 2:
+        p = (p[0::2, :] + p[1::2, :]) / 2.0
+    if fx == 2:
+        p = (p[:, 0::2] + p[:, 1::2]) / 2.0
+    return p
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    return _box_downsample(plane, 2, 2)
+
+
+def _upsample(plane: np.ndarray, fx: int, fy: int,
+              h: int, w: int) -> np.ndarray:
+    """Nearest-replication upsample cropped to (h, w) — shared by the
+    decoder AND the reference."""
+    if fy > 1:
+        plane = np.repeat(plane, fy, axis=0)
+    if fx > 1:
+        plane = np.repeat(plane, fx, axis=1)
+    return plane[:h, :w]
+
+
+def _upsample2(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    return _upsample(plane, 2, 2, h, w)
+
+
 def reference_roundtrip_color(rgb: np.ndarray,
                               qt_luma: np.ndarray = QUANT_LUMA,
                               qt_chroma: np.ndarray = QUANT_CHROMA
@@ -254,6 +295,43 @@ def reference_roundtrip_color(rgb: np.ndarray,
     return _ycbcr_to_rgb(_plane_roundtrip_f(y, qt_luma, h, w),
                          _plane_roundtrip_f(cb, qt_chroma, h, w),
                          _plane_roundtrip_f(cr, qt_chroma, h, w))
+
+
+def reference_roundtrip_subsampled(rgb: np.ndarray, subsampling: str,
+                                   qt_luma: np.ndarray = QUANT_LUMA,
+                                   qt_chroma: np.ndarray = QUANT_CHROMA
+                                   ) -> np.ndarray:
+    """Subsampled analog of :func:`reference_roundtrip_color`: RGB →
+    YCbCr → box-average chroma downsample → per-plane block math →
+    nearest-replication chroma upsample → RGB, same float kernels as
+    the codec, single final round/clip.
+    decode(encode_jpeg_color(x, subsampling=s)) must equal this
+    bit-for-bit. (The encoder pads luma to MCU multiples; the
+    edge-replicated padding only adds blocks outside the crop and
+    leaves in-crop block content unchanged, so the 8-mult padding here
+    is equivalent.)"""
+    fx, fy = _SUBSAMPLINGS[subsampling]
+    h, w = rgb.shape[:2]
+    ch, cw = (h + fy - 1) // fy, (w + fx - 1) // fx
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+
+    def chroma(plane):
+        return _upsample(
+            _plane_roundtrip_f(_box_downsample(plane, fx, fy),
+                               qt_chroma, ch, cw), fx, fy, h, w)
+
+    return _ycbcr_to_rgb(_plane_roundtrip_f(y, qt_luma, h, w),
+                         chroma(cb), chroma(cr))
+
+
+def reference_roundtrip_420(rgb: np.ndarray,
+                            qt_luma: np.ndarray = QUANT_LUMA,
+                            qt_chroma: np.ndarray = QUANT_CHROMA
+                            ) -> np.ndarray:
+    """4:2:0 reference round trip (see
+    :func:`reference_roundtrip_subsampled`)."""
+    return reference_roundtrip_subsampled(rgb, "420", qt_luma,
+                                          qt_chroma)
 
 
 # -- bit I/O with 0xFF stuffing ----------------------------------------------
@@ -412,31 +490,53 @@ def encode_jpeg(gray: bytes, width: int, height: int,
 
 def encode_jpeg_color(rgb: bytes, width: int, height: int,
                       qt_luma: np.ndarray = QUANT_LUMA,
-                      qt_chroma: np.ndarray = QUANT_CHROMA) -> bytes:
-    """Encode 8-bit RGB bytes (row-major) as baseline 4:4:4 color JFIF:
+                      qt_chroma: np.ndarray = QUANT_CHROMA,
+                      subsampling: str = "444") -> bytes:
+    """Encode 8-bit RGB bytes (row-major) as baseline color JFIF:
     three components (Y with the luminance tables, Cb/Cr with the
-    chrominance tables), all 1x1 sampling, MCU-interleaved
-    Y-Cb-Cr blocks with independent DC predictors (T.81 E.2.3)."""
+    chrominance tables), MCU-interleaved with independent DC
+    predictors (T.81 E.2.3). ``subsampling="444"`` keeps all
+    components 1x1-sampled (one block each per MCU);
+    ``"420"`` samples luma 2x2 per 16x16 MCU (four Y blocks, then one
+    Cb, one Cr over box-averaged quarter-resolution chroma) — the
+    dominant real-world JPEG form; ``"422"``/``"440"`` halve chroma
+    horizontally/vertically only."""
     if len(rgb) != width * height * 3:
         raise JpegFormatError(
             f"pixel buffer {len(rgb)} != {width}x{height}x3")
+    if subsampling not in _SUBSAMPLINGS:
+        raise JpegFormatError(
+            f"subsampling {subsampling!r} unsupported "
+            f"({'/'.join(sorted(_SUBSAMPLINGS))})")
+    fx, fy = _SUBSAMPLINGS[subsampling]
     arr = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
         height, width, 3)
     y, cb, cr = _rgb_to_ycbcr(arr)
-    comps = [(_blocks_of(y)[0], qt_luma, _DC_ENC, _AC_ENC),
-             (_blocks_of(cb)[0], qt_chroma, _DC_C_ENC, _AC_C_ENC),
-             (_blocks_of(cr)[0], qt_chroma, _DC_C_ENC, _AC_C_ENC)]
-    bh, bw = (height + 7) // 8, (width + 7) // 8
+    # MCU = (8*fx) x (8*fy) luma pixels: pad Y to MCU multiples (edge)
+    # so every MCU has its full fx x fy luma block group; chroma is the
+    # box-averaged reduced plane, one block per MCU.
+    ph, pw = (-height) % (8 * fy), (-width) % (8 * fx)
+    yb = _blocks_of(np.pad(y, ((0, ph), (0, pw)), mode="edge"))[0]
+    cbb = _blocks_of(_box_downsample(cb, fx, fy))[0]
+    crb = _blocks_of(_box_downsample(cr, fx, fy))[0]
     wr = _BitWriter()
     preds = [0, 0, 0]
-    for r in range(bh):
-        for c in range(bw):
-            for ci, (blocks, qt, dce, ace) in enumerate(comps):
-                preds[ci] = _encode_block(
-                    wr, _fdct_quant(blocks[r, c], qt), preds[ci],
-                    dce, ace)
+    for r in range((height + 8 * fy - 1) // (8 * fy)):
+        for c in range((width + 8 * fx - 1) // (8 * fx)):
+            for by in range(fy):
+                for bx in range(fx):
+                    preds[0] = _encode_block(
+                        wr, _fdct_quant(yb[fy * r + by, fx * c + bx],
+                                        qt_luma),
+                        preds[0], _DC_ENC, _AC_ENC)
+            preds[1] = _encode_block(
+                wr, _fdct_quant(cbb[r, c], qt_chroma), preds[1],
+                _DC_C_ENC, _AC_C_ENC)
+            preds[2] = _encode_block(
+                wr, _fdct_quant(crb[r, c], qt_chroma), preds[2],
+                _DC_C_ENC, _AC_C_ENC)
     sof = (struct.pack(">BHHB", 8, height, width, 3)
-           + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+           + bytes([1, (fx << 4) | fy, 0]) + bytes([2, 0x11, 1])
            + bytes([3, 0x11, 1]))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     return (b"\xff\xd8"
@@ -505,11 +605,12 @@ def decode_jpeg(data: bytes):
                     "4:4:4 color baseline only)")
             for i in range(nf):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 15
+                if ch not in (1, 2) or cv not in (1, 2):
                     raise JpegFormatError(
-                        "chroma subsampling unsupported (4:4:4 only "
-                        "— plug a full codec here)")
-                comps.append((cid, tq))
+                        f"sampling factors {ch}x{cv} unsupported "
+                        "(1 or 2 per axis: 4:4:4/4:2:2/4:4:0/4:2:0)")
+                comps.append((cid, ch, cv, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
@@ -523,14 +624,15 @@ def decode_jpeg(data: bytes):
             if ns != len(comps):
                 raise JpegFormatError(
                     "interleaved scan over all components expected")
-            tabs = []                 # in SOF order: (qt, dc, ac)
+            tabs = []                 # in SOF order: (h, v, qt, dc, ac)
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
-                cid, tq = comps[i]
+                cid, ch, cv, tq = comps[i]
                 if cs != cid:
                     raise JpegFormatError(
                         "scan component order must match SOF")
-                tabs.append((qtables[tq], htables[(0, tdta >> 4)],
+                tabs.append((ch, cv, qtables[tq],
+                             htables[(0, tdta >> 4)],
                              htables[(1, tdta & 15)]))
             pos = pos + 2 + length
             scan_end = data.rfind(b"\xff\xd9")
@@ -568,16 +670,20 @@ def _decode_one_block(rd: _BitReader, pred: int, qt: np.ndarray,
 
 
 def _decode_scan(scan: bytes, width: int, height: int, tabs: list):
-    """MCU-interleaved decode of 1 (gray) or 3 (YCbCr 4:4:4)
-    components, each 1x1-sampled — one block per component per MCU,
-    independent DC predictors."""
+    """MCU-interleaved decode of 1 (gray) or 3 (YCbCr) components with
+    per-component sampling factors in {1,2} (T.81 A.2.3): each MCU
+    carries h_i x v_i blocks per component in raster order, independent
+    DC predictors; subsampled chroma is upsampled back to full
+    resolution by nearest replication before the color transform."""
     rd = _BitReader(scan)
-    bh, bw = (height + 7) // 8, (width + 7) // 8
     nc = len(tabs)
     if nc == 1:
+        # single-component scans are non-interleaved: a plain raster of
+        # 8x8 blocks regardless of declared sampling factors (T.81 A.2.2)
+        bh, bw = (height + 7) // 8, (width + 7) // 8
         out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
         pred = 0
-        qt, dc_tab, ac_tab = tabs[0]
+        _h, _v, qt, dc_tab, ac_tab = tabs[0]
         for r in range(bh):
             for c in range(bw):
                 pred, coef = _decode_one_block(rd, pred, qt, dc_tab,
@@ -585,17 +691,33 @@ def _decode_scan(scan: bytes, width: int, height: int, tabs: list):
                 out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = _dequant_idct(
                     coef, qt)
         return width, height, 1, out[:height, :width].tobytes()
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64)
-              for _ in range(nc)]
+    hmax = max(t[0] for t in tabs)
+    vmax = max(t[1] for t in tabs)
+    mch = (height + 8 * vmax - 1) // (8 * vmax)   # MCU rows
+    mcw = (width + 8 * hmax - 1) // (8 * hmax)    # MCU cols
+    planes = [np.empty((mch * v * 8, mcw * h * 8), dtype=np.float64)
+              for h, v, _q, _d, _a in tabs]
     preds = [0] * nc
-    for r in range(bh):
-        for c in range(bw):
-            for ci, (qt, dc_tab, ac_tab) in enumerate(tabs):
-                preds[ci], coef = _decode_one_block(
-                    rd, preds[ci], qt, dc_tab, ac_tab)
-                planes[ci][r * 8:r * 8 + 8, c * 8:c * 8 + 8] = \
-                    _dequant_idct_f(coef, qt) + 128.0
-    rgb = _ycbcr_to_rgb(planes[0][:height, :width],
-                        planes[1][:height, :width],
-                        planes[2][:height, :width])
+    for r in range(mch):
+        for c in range(mcw):
+            for ci, (h, v, qt, dc_tab, ac_tab) in enumerate(tabs):
+                for by in range(v):
+                    for bx in range(h):
+                        preds[ci], coef = _decode_one_block(
+                            rd, preds[ci], qt, dc_tab, ac_tab)
+                        pr, pc = (r * v + by) * 8, (c * h + bx) * 8
+                        planes[ci][pr:pr + 8, pc:pc + 8] = \
+                            _dequant_idct_f(coef, qt) + 128.0
+    full = []
+    for (h, v, _q, _d, _a), plane in zip(tabs, planes):
+        # true component dims per T.81 A.1.1, then replicate to full res
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        p = plane[:ch, :cw]
+        if h != hmax:
+            p = np.repeat(p, hmax // h, axis=1)
+        if v != vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        full.append(p[:height, :width])
+    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
     return width, height, 3, rgb.tobytes()

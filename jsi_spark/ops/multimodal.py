@@ -10,8 +10,9 @@ stdlib/numpy codecs — PNG (:mod:`jsi_spark.ops.png`, zlib scanlines +
 the 5 predictor filters), 16-bit PCM WAV (:mod:`jsi_spark.ops.wav`),
 animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW), and
 baseline JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT + canonical
-Huffman — grayscale and 4:4:4 color) — and derives features from the actual
-pixels/samples/frames; other formats (MP4, subsampled/progressive
+Huffman — grayscale, 4:4:4 color, and 4:2:0/4:2:2/4:4:0 chroma
+subsampling) — and derives features from the actual
+pixels/samples/frames; other formats (MP4, progressive
 JPEG, ...) still raise NotImplementedError at the exact point
 PIL/librosa/ffmpeg would plug in.
 """
@@ -125,10 +126,12 @@ def synth_jpeg_media(media_dim: DataFrame, max_side: int = 16) -> DataFrame:
     return imgs.mapInPandas(run, MEDIA_SCHEMA)
 
 
-def synth_jpeg_color_media(media_dim: DataFrame,
-                           max_side: int = 16) -> DataFrame:
+def synth_jpeg_color_media(media_dim: DataFrame, max_side: int = 16,
+                           subsampling: str = "444") -> DataFrame:
     """Color variant of :func:`synth_jpeg_media`: the RGB SHA-256
-    pixel stream encoded through the 4:4:4 color T.81 path."""
+    pixel stream encoded through the color T.81 path (4:4:4 by
+    default; ``subsampling="420"`` exercises the box-averaged
+    quarter-resolution chroma + 16x16 MCU layer)."""
     from jsi_spark.ops import jpeg, png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,7 +140,8 @@ def synth_jpeg_color_media(media_dim: DataFrame,
             for ref in pdf["media_ref"]:
                 w, h = png.synth_dims(ref, max_side)
                 payload = jpeg.encode_jpeg_color(
-                    png.synth_pixels(ref, w, h, channels=3), w, h)
+                    png.synth_pixels(ref, w, h, channels=3), w, h,
+                    subsampling=subsampling)
                 rows.append((ref, payload, w, h))
             out = pd.DataFrame(rows, columns=["media_ref", "payload",
                                               "width", "height"])
@@ -310,8 +314,8 @@ def _real_decode_features(payload: bytes):
         raise NotImplementedError(
             "decode='real' covers PNG (stdlib zlib), PCM WAV (stdlib "
             "wave), animated GIF (stdlib LZW), and baseline JPEG "
-            "(numpy T.81, gray + 4:4:4 color); other formats (MP4, "
-            "...) need "
+            "(numpy T.81, gray + color incl. 4:2:0 subsampling); "
+            "other formats (MP4, ...) need "
             "PIL/librosa/ffmpeg — plug the codec in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:

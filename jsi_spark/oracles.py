@@ -450,6 +450,30 @@ def media_jpeg_color_rows(n_media=30, max_side=16):
     return rows
 
 
+def media_jpeg420_rows(n_media=30, max_side=16):
+    """Golden for media_jpeg420_real: the 4:2:0 reference round trip
+    (YCbCr → 2x2 box-average chroma downsample → per-plane block math →
+    nearest 2x upsample, single final round) — gating the subsampled
+    16x16-MCU interleave (four Y + Cb + Cr per MCU), the downsample/
+    upsample kernels, and the generalized sampling-factor decode."""
+    import numpy as np
+
+    from jsi_spark.ops.jpeg import reference_roundtrip_420
+    from jsi_spark.ops.png import pixel_stats, synth_dims, synth_pixels
+    rows = []
+    for i in range(0, n_media, 3):   # media_kind 'image' ⇔ i % 3 == 0
+        ref = f"m{i}"
+        w, h = synth_dims(ref, max_side)
+        rgb = np.frombuffer(synth_pixels(ref, w, h, channels=3),
+                            dtype=np.uint8).reshape(h, w, 3)
+        exp = reference_roundtrip_420(rgb)
+        st = pixel_stats(exp.tobytes(), w, h)
+        q = [float(np.float32(x)) for x in st]
+        rows.append((ref, _round6(q[0]), _round6(q[1]), _round6(q[2]),
+                     _round6(q[6]), _round6(q[14])))
+    return rows
+
+
 def media_resize_rows(n_media=30, max_side=8, src_max_side=16):
     """Golden for media_resize_real: nearest-neighbor resample + stats
     computed directly on the source pixels (no codec), against the
@@ -604,6 +628,12 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE"]),
         "media_jpeg_color_real": values_sql(
             media_jpeg_color_rows(),
+            ["media_ref", "mean_r", "mean_g", "mean_b", "lum_h0",
+             "aspect"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
+             "DOUBLE"]),
+        "media_jpeg420_real": values_sql(
+            media_jpeg420_rows(),
             ["media_ref", "mean_r", "mean_g", "mean_b", "lum_h0",
              "aspect"],
             ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",

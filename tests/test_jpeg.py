@@ -229,3 +229,73 @@ def test_color_resize_to_png():
     small = resample_nearest(px, 16, 12, 8, 6, channels=3)
     from jsi_spark.ops.png import encode_png
     assert decode_png(encode_png(small, 8, 6, color_type=2))[3] == small
+
+
+@pytest.mark.parametrize("sub", ["420", "422", "440"])
+@pytest.mark.parametrize("w,h", [(16, 16), (13, 9), (5, 7), (1, 1),
+                                 (33, 2), (17, 31)])
+def test_subsampled_roundtrip_equals_reference(w, h, sub):
+    """Chroma-subsampled color: multi-block MCUs (T.81 A.2.3), box-
+    averaged chroma downsample at encode, nearest-replication upsample
+    at decode — must match the pure-math subsampled reference
+    bit-for-bit (which gates the generalized sampling-factor MCU
+    interleave AND the shared resample kernels)."""
+    from jsi_spark.ops.jpeg import (
+        encode_jpeg_color, reference_roundtrip_subsampled,
+    )
+    img = _rgb(f"js{sub}{w}x{h}", w, h)
+    payload = encode_jpeg_color(img.tobytes(), w, h, subsampling=sub)
+    dw, dh, ch, dec = decode_jpeg(payload)
+    assert (dw, dh, ch) == (w, h, 3)
+    got = np.frombuffer(dec, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, reference_roundtrip_subsampled(img, sub))
+
+
+def test_420_sof_declares_luma_2x2():
+    """The 4:2:0 stream declares Y as 2x2-sampled and chroma 1x1 in
+    SOF0 (interoperability: other decoders read these factors)."""
+    from jsi_spark.ops.jpeg import encode_jpeg_color
+    img = _rgb("jsof", 16, 16)
+    payload = encode_jpeg_color(img.tobytes(), 16, 16, subsampling="420")
+    sof = payload.find(b"\xff\xc0")
+    assert sof > 0
+    comp = payload[sof + 10:sof + 19]         # 3 x (id, hv, tq)
+    assert comp[1] == 0x22 and comp[4] == 0x11 and comp[7] == 0x11
+
+
+def test_420_flat_image_stays_flat():
+    """Chroma subsampling of a flat color must not introduce texture:
+    box average of a constant is the constant."""
+    from jsi_spark.ops.jpeg import encode_jpeg_color
+    img = np.empty((16, 16, 3), dtype=np.uint8)
+    img[:] = (200, 100, 50)
+    _, _, _, dec = decode_jpeg(
+        encode_jpeg_color(img.tobytes(), 16, 16, subsampling="420"))
+    got = np.frombuffer(dec, np.uint8).reshape(16, 16, 3)
+    assert len(np.unique(got.reshape(-1, 3), axis=0)) == 1, "not flat"
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 21
+
+
+def test_420_features_dispatch():
+    """extract_features' dispatch decodes 4:2:0 payloads (the dominant
+    real-world JPEG form) without a format hint."""
+    from jsi_spark.ops.jpeg import encode_jpeg_color
+    img = _rgb("mj420", 12, 10)
+    feats = _real_decode_features(
+        encode_jpeg_color(img.tobytes(), 12, 10, subsampling="420"))
+    assert len(feats) == 16
+    assert not (feats[0] == feats[1] == feats[2])
+
+
+def test_unsupported_subsampling_rejected():
+    from jsi_spark.ops.jpeg import encode_jpeg_color
+    img = _rgb("jbad", 8, 8)
+    with pytest.raises(JpegFormatError, match="subsampling"):
+        encode_jpeg_color(img.tobytes(), 8, 8, subsampling="411")
+    # decoder: sampling factors outside {1,2} are a named error
+    payload = bytearray(encode_jpeg_color(img.tobytes(), 8, 8,
+                                          subsampling="420"))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 11] = 0x41                  # luma 4x1
+    with pytest.raises(JpegFormatError, match="sampling factors"):
+        decode_jpeg(bytes(payload))
