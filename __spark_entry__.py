@@ -803,6 +803,35 @@ def q_media_jpeg420_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("aspect"))
 
 
+def q_media_jpeg_prog_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG variant of media_jpeg420_real: the same
+    deterministic RGB pixels encoded through the multi-scan spectral-
+    selection + successive-approximation path (T.81 Annex G — DC/AC
+    first and refinement scans, EOB-run coding, point transforms) and
+    decoded by the multi-scan coefficient accumulator. Progressive
+    entropy coding is lossless over the quantized coefficients, so the
+    golden is the SAME 4:2:0 block-math reference round trip
+    (oracles.media_jpeg_prog_rows) — the two queries agreeing pins
+    baseline and progressive to identical decoded pixels."""
+    from jsi_spark.ops.multimodal import synth_jpeg_progressive_media
+    ensure_py_files(spark)
+    media = synth_jpeg_progressive_media(_media_dim(spark),
+                                         subsampling="420")
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_ref",
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .alias("mean_r"),
+        F.round(F.element_at("features", 2).cast("double"), 6)
+        .alias("mean_g"),
+        F.round(F.element_at("features", 3).cast("double"), 6)
+        .alias("mean_b"),
+        F.round(F.element_at("features", 7).cast("double"), 6)
+        .alias("lum_h0"),
+        F.round(F.element_at("features", 15).cast("double"), 6)
+        .alias("aspect"))
+
+
 def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming validation pass: the generic-path JSON
     validator runs over a file STREAM of events; per-window verdict
@@ -1003,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_real": q_media_jpeg_real,
         "media_jpeg_color_real": q_media_jpeg_color_real,
         "media_jpeg420_real": q_media_jpeg420_real,
+        "media_jpeg_prog_real": q_media_jpeg_prog_real,
         "media_wav_real": q_media_wav_real,
         "media_resize_real": q_media_resize_real,
         "media_frames_real": q_media_frames_real,

@@ -13,8 +13,15 @@ numpy + stdlib. Chroma subsampling is supported for any per-component
 sampling factors in {1,2} — 4:2:0 (the dominant real-world form, with
 2x2 box-average downsampling at encode and nearest-replication
 upsampling at decode, T.81 A.1.1 MCU interleave) and 4:2:2/4:4:0 fall
-out of the same generalized MCU decode. Progressive scans and restart
-intervals raise ``JpegFormatError`` — named, at decode time.
+out of the same generalized MCU decode. PROGRESSIVE mode (SOF2, T.81
+Annex G) is supported end-to-end: spectral selection (per-band AC
+scans with EOB-run coding) and successive approximation (point
+transform + DC/AC refinement scans), both encoder (a libjpeg-style
+default scan script) and decoder (multi-scan coefficient
+accumulation). Progressive entropy coding is LOSSLESS over the same
+quantized coefficients, so a progressive round trip must bit-match
+the SAME block-math references as baseline. Restart intervals raise
+``JpegFormatError`` — named, at decode time.
 
 Because JPEG is LOSSY, the golden oracle cannot compare against the
 source pixels. Instead :func:`reference_roundtrip` defines the
@@ -34,7 +41,8 @@ import numpy as np
 
 __all__ = [
     "JpegFormatError", "is_jpeg", "encode_jpeg", "decode_jpeg",
-    "encode_jpeg_color", "reference_roundtrip",
+    "encode_jpeg_color", "encode_jpeg_progressive",
+    "reference_roundtrip",
     "reference_roundtrip_color", "reference_roundtrip_420",
     "reference_roundtrip_subsampled", "QUANT_LUMA", "QUANT_CHROMA",
 ]
@@ -551,6 +559,54 @@ def encode_jpeg_color(rgb: bytes, width: int, height: int,
 
 # -- decoder -----------------------------------------------------------------
 
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    b = 0
+    while b < len(body):
+        pq, tq = body[b] >> 4, body[b] & 15
+        if pq != 0:
+            raise JpegFormatError("16-bit quant unsupported")
+        zz = np.frombuffer(body[b + 1:b + 65], dtype=np.uint8)
+        nat = np.zeros(64, dtype=np.int32)
+        nat[_ZIGZAG] = zz
+        qtables[tq] = nat.reshape(8, 8)
+        b += 65
+
+
+def _parse_dht(body: bytes, htables: dict) -> None:
+    b = 0
+    while b < len(body):
+        tc, th = body[b] >> 4, body[b] & 15
+        bits = list(body[b + 1:b + 17])
+        n = sum(bits)
+        vals = list(body[b + 17:b + 17 + n])
+        enc = _canonical_codes(bits, vals)
+        htables[(tc, th)] = {(ln, cd): sym
+                             for sym, (cd, ln) in enc.items()}
+        b += 17 + n
+
+
+def _parse_sof(body: bytes) -> tuple:
+    """Shared SOF0/SOF2 frame-header parse → (width, height, comps)
+    with comps = [(component id, h, v, Tq)] in SOF order."""
+    prec, height, width, nf = struct.unpack(">BHHB", body[:6])
+    if prec != 8:
+        raise JpegFormatError(f"precision {prec} unsupported")
+    if nf not in (1, 3):
+        raise JpegFormatError(
+            f"{nf}-component JPEG unsupported (grayscale or "
+            "YCbCr color only)")
+    comps = []
+    for i in range(nf):
+        cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+        ch, cv = hv >> 4, hv & 15
+        if ch not in (1, 2) or cv not in (1, 2):
+            raise JpegFormatError(
+                f"sampling factors {ch}x{cv} unsupported "
+                "(1 or 2 per axis: 4:4:4/4:2:2/4:4:0/4:2:0)")
+        comps.append((cid, ch, cv, tq))
+    return width, height, comps
+
+
 def decode_jpeg(data: bytes):
     """Decode a baseline JPEG (grayscale or 4:4:4 color) →
     ``(width, height, channels, pixels: bytes)`` — channels is 1
@@ -574,47 +630,20 @@ def decode_jpeg(data: bytes):
         if len(body) != length - 2:
             raise JpegFormatError("truncated segment")
         if marker == 0xDB:            # DQT (possibly several tables)
-            b = 0
-            while b < len(body):
-                pq, tq = body[b] >> 4, body[b] & 15
-                if pq != 0:
-                    raise JpegFormatError("16-bit quant unsupported")
-                zz = np.frombuffer(body[b + 1:b + 65], dtype=np.uint8)
-                nat = np.zeros(64, dtype=np.int32)
-                nat[_ZIGZAG] = zz
-                qtables[tq] = nat.reshape(8, 8)
-                b += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:          # DHT (possibly several tables)
-            b = 0
-            while b < len(body):
-                tc, th = body[b] >> 4, body[b] & 15
-                bits = list(body[b + 1:b + 17])
-                n = sum(bits)
-                vals = list(body[b + 17:b + 17 + n])
-                enc = _canonical_codes(bits, vals)
-                htables[(tc, th)] = {(ln, cd): sym
-                                     for sym, (cd, ln) in enc.items()}
-                b += 17 + n
+            _parse_dht(body, htables)
         elif marker == 0xC0:          # SOF0 baseline
-            prec, height, width, nf = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise JpegFormatError(f"precision {prec} unsupported")
-            if nf not in (1, 3):
-                raise JpegFormatError(
-                    f"{nf}-component JPEG unsupported (grayscale or "
-                    "4:4:4 color baseline only)")
-            for i in range(nf):
-                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
-                ch, cv = hv >> 4, hv & 15
-                if ch not in (1, 2) or cv not in (1, 2):
-                    raise JpegFormatError(
-                        f"sampling factors {ch}x{cv} unsupported "
-                        "(1 or 2 per axis: 4:4:4/4:2:2/4:4:0/4:2:0)")
-                comps.append((cid, ch, cv, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            width, height, comps = _parse_sof(body)
+        elif marker == 0xC2:          # SOF2 progressive (T.81 Annex G)
+            width, height, comps = _parse_sof(body)
+            return _decode_progressive(data, pos + 2 + length, width,
+                                       height, comps, qtables, htables)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"SOF{marker - 0xC0}: only baseline (SOF0) supported")
+                f"SOF{marker - 0xC0}: only baseline (SOF0) and "
+                "progressive (SOF2) supported")
         elif marker == 0xDD:
             raise JpegFormatError("restart intervals unsupported")
         elif marker == 0xDA:          # SOS: entropy data follows
@@ -721,3 +750,513 @@ def _decode_scan(scan: bytes, width: int, height: int, tabs: list):
         full.append(p[:height, :width])
     rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
     return width, height, 3, rgb.tobytes()
+
+
+# -- progressive mode (SOF2, T.81 Annex G) -----------------------------------
+#
+# Progressive JPEG codes the SAME quantized coefficients as baseline,
+# split across multiple scans: spectral selection (each AC scan covers
+# one zigzag band Ss..Se of ONE component, with end-of-band run coding)
+# and successive approximation (scans deliver the point-transformed
+# high bits first — Ah=0 "first" scans — then one bit plane per
+# refinement scan, Ah = Al+1). Entropy coding is lossless over the
+# coefficients, so decode(encode_jpeg_progressive(x)) must bit-match
+# the same block-math references as baseline.
+#
+# The encoder's Huffman tables are FLAT fixed-length canonical tables
+# (DC: 16 symbols x 5 bits; AC: 128 x 8 bits + 128 x 9 bits) rather
+# than Annex K: the Annex-K AC tables carry no EOBn symbols for n>=1
+# (baseline never emits them), and compression ratio is not what this
+# codec is for. The decoder reads whatever DHT the stream declares.
+
+#: flat canonical Huffman specs (BITS list + symbol values)
+_FLAT_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_DC_VALS = list(range(16))
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(256))
+_FLAT_DC_ENC = _canonical_codes(_FLAT_DC_BITS, _FLAT_DC_VALS)
+_FLAT_AC_ENC = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+_DHT_FLAT = (bytes([0x00]) + bytes(_FLAT_DC_BITS) + bytes(_FLAT_DC_VALS)
+             + bytes([0x10]) + bytes(_FLAT_AC_BITS)
+             + bytes(_FLAT_AC_VALS))
+
+
+def _progressive_script(nc: int) -> list:
+    """Default scan script: (component indexes, Ss, Se, Ah, Al) —
+    libjpeg's default shape (public knowledge): interleaved DC first
+    at Al=1, per-component AC bands at a coarse point transform, then
+    AC and DC refinement scans down to Al=0. Exercises every Annex-G
+    code path: interleaved + single-component DC, AC first with EOB
+    runs and ZRL, AC refinement with buffered correction bits."""
+    if nc == 1:
+        return [([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+def _point_ac(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): divide by 2^Al truncating
+    toward zero — i.e. shift the MAGNITUDE."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _emit_eobrun(wr: "_BitWriter", eobrun: int, ac_enc: dict,
+                 pending: list) -> None:
+    """Flush an end-of-band run (EOBn symbol + extension bits) plus
+    the correction bits buffered across the run's blocks."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        code, ln = ac_enc[nb << 4]
+        wr.write(code, ln)
+        if nb:
+            wr.write(eobrun & ((1 << nb) - 1), nb)
+    for b in pending:
+        wr.write(b, 1)
+    pending.clear()
+
+
+def _enc_ac_first(wr: "_BitWriter", zzs, ss: int, se: int, al: int,
+                  ac_enc: dict) -> None:
+    """AC first scan (Ah=0) over one component's blocks: run/size
+    coding of the point-transformed band with EOB-run accumulation
+    (T.81 G.1.2.2)."""
+    eobrun = 0
+    pending: list = []          # unused in first scans; keeps one flush
+    for zz in zzs:
+        run = 0
+        for k in range(ss, se + 1):
+            t = _point_ac(int(zz[k]), al)
+            if t == 0:
+                run += 1
+                continue
+            _emit_eobrun(wr, eobrun, ac_enc, pending)
+            eobrun = 0
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                wr.write(code, ln)
+                run -= 16
+            ssss, bits = _magnitude(t)
+            code, ln = ac_enc[(run << 4) | ssss]
+            wr.write(code, ln)
+            wr.write(bits, ssss)
+            run = 0
+        if run:                 # band ended in zeros -> end-of-band
+            eobrun += 1
+            if eobrun == 32767:
+                _emit_eobrun(wr, eobrun, ac_enc, pending)
+                eobrun = 0
+    _emit_eobrun(wr, eobrun, ac_enc, pending)
+
+
+def _enc_ac_refine(wr: "_BitWriter", zzs, ss: int, se: int, al: int,
+                   ac_enc: dict) -> None:
+    """AC refinement scan (Ah=Al+1): newly significant coefficients
+    coded as (run,1)+sign, already-nonzero coefficients contribute one
+    correction bit each, buffered so they land after the symbol that
+    carries them past (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine
+    structure, public)."""
+    eobrun = 0
+    pending: list = []          # correction bits riding the EOB run
+    for zz in zzs:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = 0                 # position of the LAST newly-nonzero
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        run = 0
+        br: list = []           # this block's pending correction bits
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                run += 1
+                continue
+            # emit ZRLs only when they cannot fold into the EOB
+            while run > 15 and k <= eob:
+                _emit_eobrun(wr, eobrun, ac_enc, pending)
+                eobrun = 0
+                code, ln = ac_enc[0xF0]
+                wr.write(code, ln)
+                run -= 16
+                for b in br:
+                    wr.write(b, 1)
+                br = []
+            if t > 1:           # history coefficient: one more bit
+                br.append(t & 1)
+                continue
+            # newly significant (+-1 at this bit plane)
+            _emit_eobrun(wr, eobrun, ac_enc, pending)
+            eobrun = 0
+            code, ln = ac_enc[(run << 4) | 1]
+            wr.write(code, ln)
+            wr.write(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br:
+                wr.write(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 32767 or len(pending) > 937:
+                _emit_eobrun(wr, eobrun, ac_enc, pending)
+                eobrun = 0
+    _emit_eobrun(wr, eobrun, ac_enc, pending)
+
+
+def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
+                            channels: int = 1,
+                            qt_luma: np.ndarray = QUANT_LUMA,
+                            qt_chroma: np.ndarray = QUANT_CHROMA,
+                            subsampling: str = "444") -> bytes:
+    """Encode 8-bit grayscale (``channels=1``) or RGB (``channels=3``)
+    pixels as PROGRESSIVE JFIF (SOF2): the same quantized coefficients
+    as the baseline encoder, delivered through the default spectral-
+    selection + successive-approximation scan script. Because the
+    entropy layer is lossless, decoding must reproduce exactly
+    :func:`reference_roundtrip` (gray) /
+    :func:`reference_roundtrip_subsampled` (color)."""
+    if channels not in (1, 3):
+        raise JpegFormatError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise JpegFormatError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}")
+    if subsampling not in _SUBSAMPLINGS:
+        raise JpegFormatError(
+            f"subsampling {subsampling!r} unsupported "
+            f"({'/'.join(sorted(_SUBSAMPLINGS))})")
+    if channels == 1:
+        img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+            height, width)
+        blocks, bh, bw = _blocks_of(img)
+        planes_blocks = [blocks]
+        qts = [qt_luma]
+        geos = [(1, 1)]                      # (h, v) sampling factors
+        rasters = [(bh, bw)]                 # non-interleaved raster
+        mch, mcw = bh, bw
+        fx = fy = 1
+    else:
+        fx, fy = _SUBSAMPLINGS[subsampling]
+        arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+            height, width, 3)
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        ph, pw = (-height) % (8 * fy), (-width) % (8 * fx)
+        yb = _blocks_of(np.pad(y, ((0, ph), (0, pw)), mode="edge"))[0]
+        cbb = _blocks_of(_box_downsample(cb, fx, fy))[0]
+        crb = _blocks_of(_box_downsample(cr, fx, fy))[0]
+        planes_blocks = [yb, cbb, crb]
+        qts = [qt_luma, qt_chroma, qt_chroma]
+        geos = [(fx, fy), (1, 1), (1, 1)]
+        rasters = [((height + 7) // 8, (width + 7) // 8),
+                   cbb.shape[:2], crb.shape[:2]]
+        mch = (height + 8 * fy - 1) // (8 * fy)
+        mcw = (width + 8 * fx - 1) // (8 * fx)
+    # quantize every block ONCE into zigzag-order coefficient arrays —
+    # identical numbers to what the baseline encoder would emit
+    coefs = []
+    for blocks, qt in zip(planes_blocks, qts):
+        bh_i, bw_i = blocks.shape[:2]
+        zz = np.empty((bh_i, bw_i, 64), dtype=np.int32)
+        for r in range(bh_i):
+            for c in range(bw_i):
+                zz[r, c] = _fdct_quant(blocks[r, c],
+                                       qt).reshape(64)[_ZIGZAG]
+        coefs.append(zz)
+
+    def blocks_in_scan(idxs):
+        """Block order: MCU-interleaved for multi-component scans,
+        the component's own raster for single-component scans
+        (T.81 A.2.2/A.2.3)."""
+        if len(idxs) == 1:
+            ci = idxs[0]
+            rh, rw = rasters[ci]
+            for r in range(rh):
+                for c in range(rw):
+                    yield ci, r, c
+            return
+        for r in range(mch):
+            for c in range(mcw):
+                for ci in idxs:
+                    h, v = geos[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            yield ci, r * v + by, c * h + bx
+
+    scans = b""
+    for idxs, ss, se, ah, al in _progressive_script(channels):
+        wr = _BitWriter()
+        if ss == 0:                          # DC scan
+            if ah == 0:
+                preds = [0] * len(coefs)
+                for ci, r, c in blocks_in_scan(idxs):
+                    v = int(coefs[ci][r, c, 0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    ssss, bits = _magnitude(diff)
+                    code, ln = _FLAT_DC_ENC[ssss]
+                    wr.write(code, ln)
+                    if ssss:
+                        wr.write(bits, ssss)
+            else:                            # DC refinement: 1 bit/block
+                for ci, r, c in blocks_in_scan(idxs):
+                    wr.write((int(coefs[ci][r, c, 0]) >> al) & 1, 1)
+        else:                                # AC scan: one component
+            ci = idxs[0]
+            rh, rw = rasters[ci]
+            zzs = (coefs[ci][r, c] for r in range(rh)
+                   for c in range(rw))
+            if ah == 0:
+                _enc_ac_first(wr, zzs, ss, se, al, _FLAT_AC_ENC)
+            else:
+                _enc_ac_refine(wr, zzs, ss, se, al, _FLAT_AC_ENC)
+        body = bytes([len(idxs)])
+        for ci in idxs:
+            body += bytes([ci + 1, 0x00])    # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        scans += _seg(0xFFDA, body) + wr.flush()
+
+    if channels == 1:
+        sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+        dqt = _seg(0xFFDB, bytes([0x00]) + _zz_bytes(qt_luma))
+    else:
+        sof = (struct.pack(">BHHB", 8, height, width, 3)
+               + bytes([1, (fx << 4) | fy, 0]) + bytes([2, 0x11, 1])
+               + bytes([3, 0x11, 1]))
+        dqt = _seg(0xFFDB, bytes([0x00]) + _zz_bytes(qt_luma)
+                   + bytes([0x01]) + _zz_bytes(qt_chroma))
+    return (b"\xff\xd8" + _seg(0xFFE0, _JFIF) + dqt
+            + _seg(0xFFC2, sof) + _seg(0xFFC4, _DHT_FLAT)
+            + scans + b"\xff\xd9")
+
+
+# -- progressive decoder ------------------------------------------------------
+
+def _find_scan_end(data: bytes, pos: int) -> int:
+    """Index of the first marker (0xFF + non-stuffing byte) at or
+    after pos — the end of an entropy-coded segment."""
+    i = pos
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00:
+            if 0xD0 <= data[i + 1] <= 0xD7:
+                raise JpegFormatError("restart intervals unsupported")
+            return i
+        i += 1
+    raise JpegFormatError("unterminated entropy-coded segment")
+
+
+def _decode_progressive(data: bytes, pos: int, width: int, height: int,
+                        comps: list, qtables: dict, htables: dict):
+    """Multi-scan progressive decode: accumulate coefficients (zigzag
+    order) across DC/AC first and refinement scans, then dequantize +
+    IDCT once at EOI. Returns the same tuple shape as the baseline
+    path."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcw = (width + 8 * hmax - 1) // (8 * hmax)
+    mch = (height + 8 * vmax - 1) // (8 * vmax)
+    geo: dict = {}              # cid -> (h, v, tq, cw, ch, rbw, rbh)
+    coefs: dict = {}            # cid -> (rows, cols, 64) zigzag int32
+    for cid, h, v, tq in comps:
+        cw = (width * h + hmax - 1) // hmax      # T.81 A.1.1 comp dims
+        ch_ = (height * v + vmax - 1) // vmax
+        geo[cid] = (h, v, tq, cw, ch_, (cw + 7) // 8, (ch_ + 7) // 8)
+        coefs[cid] = np.zeros((mch * v, mcw * h, 64), dtype=np.int32)
+    got_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + length]
+        if len(body) != length - 2:
+            raise JpegFormatError("truncated segment")
+        if marker == 0xC4:
+            _parse_dht(body, htables)
+        elif marker == 0xDB:
+            _parse_dqt(body, qtables)
+        elif marker == 0xDD:
+            raise JpegFormatError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in geo:
+                    raise JpegFormatError(
+                        f"scan references unknown component {cs}")
+                scomps.append((cs, tdta >> 4, tdta & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            start = pos + 2 + length
+            end = _find_scan_end(data, start)
+            _decode_prog_scan(_BitReader(data[start:end]), scomps,
+                              ss, se, ahal >> 4, ahal & 15, coefs,
+                              geo, htables, mch, mcw)
+            got_scan = True
+            pos = end
+            continue
+        pos += 2 + length
+    if not got_scan:
+        raise JpegFormatError("no SOS marker")
+    # reconstruct: dequant + IDCT per block, crop, upsample, transform
+    planes = []
+    for cid, h, v, tq in comps:
+        _h, _v, _tq, cw, ch_, rbw, rbh = geo[cid]
+        qt = qtables[tq]
+        zz_arr = coefs[cid]
+        out = np.empty((rbh * 8, rbw * 8), dtype=np.float64)
+        for r in range(rbh):
+            for c in range(rbw):
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_ZIGZAG] = zz_arr[r, c]
+                out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = \
+                    _dequant_idct_f(nat.reshape(8, 8), qt) + 128.0
+        p = out[:ch_, :cw]
+        if h != hmax:
+            p = np.repeat(p, hmax // h, axis=1)
+        if v != vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        planes.append(p[:height, :width])
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, gray.tobytes()
+    return width, height, 3, _ycbcr_to_rgb(*planes).tobytes()
+
+
+def _decode_prog_scan(rd: "_BitReader", scomps: list, ss: int, se: int,
+                      ah: int, al: int, coefs: dict, geo: dict,
+                      htables: dict, mch: int, mcw: int) -> None:
+    """One progressive scan (T.81 G.2): DC scans may be interleaved;
+    AC scans cover one band of one component with EOB-run skipping;
+    refinement scans (Ah>0) deliver one bit plane."""
+    if ss == 0:                              # DC scan
+        if se != 0:
+            raise JpegFormatError("DC scan must have Se=0")
+
+        def dc_blocks():
+            if len(scomps) == 1:
+                cs = scomps[0][0]
+                _h, _v, _tq, _cw, _ch, rbw, rbh = geo[cs]
+                for r in range(rbh):
+                    for c in range(rbw):
+                        yield cs, r, c
+                return
+            for r in range(mch):
+                for c in range(mcw):
+                    for cs, _td, _ta in scomps:
+                        h, v = geo[cs][0], geo[cs][1]
+                        for by in range(v):
+                            for bx in range(h):
+                                yield cs, r * v + by, c * h + bx
+
+        if ah == 0:                          # first DC scan
+            tabs = {}
+            for cs, td, _ta in scomps:
+                tab = htables.get((0, td))
+                if tab is None:
+                    raise JpegFormatError(f"missing DC table {td}")
+                tabs[cs] = tab
+            preds = {cs: 0 for cs, _t, _a in scomps}
+            for cs, r, c in dc_blocks():
+                s = _decode_symbol(rd, tabs[cs])
+                preds[cs] += _extend(rd.read(s), s)
+                coefs[cs][r, c, 0] = preds[cs] << al
+        else:                                # DC refinement: 1 bit/block
+            p1 = 1 << al
+            for cs, r, c in dc_blocks():
+                if rd.read(1):
+                    coefs[cs][r, c, 0] |= p1
+        return
+    if len(scomps) != 1:
+        raise JpegFormatError("AC scans must be non-interleaved")
+    cs, _td, ta = scomps[0]
+    ac_tab = htables.get((1, ta))
+    if ac_tab is None:
+        raise JpegFormatError(f"missing AC table {ta}")
+    _h, _v, _tq, _cw, _ch, rbw, rbh = geo[cs]
+    zz_arr = coefs[cs]
+    eobrun = 0
+    if ah == 0:                              # AC first scan (G.2.2)
+        for r in range(rbh):
+            for c in range(rbw):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                blk = zz_arr[r, c]
+                k = ss
+                while k <= se:
+                    sym = _decode_symbol(rd, ac_tab)
+                    rr, sbits = sym >> 4, sym & 15
+                    if sbits == 0:
+                        if rr != 15:         # EOBn: run of ended bands
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += rd.read(rr)
+                            break
+                        k += 16              # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise JpegFormatError("coefficient index "
+                                              "outside scan band")
+                    blk[k] = _extend(rd.read(sbits), sbits) << al
+                    k += 1
+        return
+    # AC refinement scan (G.2.2 / public libjpeg decode structure):
+    # every nonzero-history coefficient passed over consumes one
+    # correction bit; new coefficients appear as +-1 at this bit plane.
+    p1, m1 = 1 << al, -(1 << al)
+    for r in range(rbh):
+        for c in range(rbw):
+            blk = zz_arr[r, c]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _decode_symbol(rd, ac_tab)
+                    rr, sbits = sym >> 4, sym & 15
+                    newval = 0
+                    if sbits:
+                        if sbits != 1:
+                            raise JpegFormatError(
+                                "refinement magnitude must be 1")
+                        newval = p1 if rd.read(1) else m1
+                    elif rr != 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += rd.read(rr)
+                        break                # rest handled below
+                    # advance over rr zero-history positions,
+                    # correcting nonzero-history coefficients en route
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if rd.read(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise JpegFormatError(
+                                "refinement ran outside scan band")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:               # trailing corrections
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if rd.read(1) and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1

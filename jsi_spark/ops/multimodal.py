@@ -9,12 +9,13 @@ environment. ``decode="real"`` decodes payloads with the pure-
 stdlib/numpy codecs — PNG (:mod:`jsi_spark.ops.png`, zlib scanlines +
 the 5 predictor filters), 16-bit PCM WAV (:mod:`jsi_spark.ops.wav`),
 animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW), and
-baseline JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT + canonical
-Huffman — grayscale, 4:4:4 color, and 4:2:0/4:2:2/4:4:0 chroma
-subsampling) — and derives features from the actual
-pixels/samples/frames; other formats (MP4, progressive
-JPEG, ...) still raise NotImplementedError at the exact point
-PIL/librosa/ffmpeg would plug in.
+JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT + canonical Huffman —
+grayscale, 4:4:4 color, 4:2:0/4:2:2/4:4:0 chroma subsampling, and
+PROGRESSIVE SOF2 with spectral selection + successive
+approximation) — and derives features from the actual
+pixels/samples/frames; other formats (MP4, ...) still raise
+NotImplementedError at the exact point PIL/librosa/ffmpeg would
+plug in.
 """
 
 from __future__ import annotations
@@ -142,6 +143,40 @@ def synth_jpeg_color_media(media_dim: DataFrame, max_side: int = 16,
                 payload = jpeg.encode_jpeg_color(
                     png.synth_pixels(ref, w, h, channels=3), w, h,
                     subsampling=subsampling)
+                rows.append((ref, payload, w, h))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "width", "height"])
+            out["media_kind"] = "image"
+            out["duration_ms"] = pd.array([None] * len(out),
+                                          dtype="Int32")
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    ensure_py_files(media_dim.sparkSession)
+    imgs = media_dim.filter(F.col("media_kind") == "image") \
+        .select("media_ref")
+    return imgs.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_jpeg_progressive_media(media_dim: DataFrame,
+                                 max_side: int = 16,
+                                 subsampling: str = "420") -> DataFrame:
+    """Progressive (SOF2) variant of :func:`synth_jpeg_color_media`:
+    the RGB SHA-256 pixel stream encoded through the multi-scan
+    spectral-selection + successive-approximation path (T.81 Annex G)
+    — 4:2:0-subsampled by default, so the progressive entropy layer is
+    gated against the SAME block-math golden as the baseline 4:2:0
+    query (lossless coefficient coding ⇒ identical decoded pixels)."""
+    from jsi_spark.ops import jpeg, png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                w, h = png.synth_dims(ref, max_side)
+                payload = jpeg.encode_jpeg_progressive(
+                    png.synth_pixels(ref, w, h, channels=3), w, h,
+                    channels=3, subsampling=subsampling)
                 rows.append((ref, payload, w, h))
             out = pd.DataFrame(rows, columns=["media_ref", "payload",
                                               "width", "height"])
@@ -313,9 +348,9 @@ def _real_decode_features(payload: bytes):
     if not png.is_png(payload):
         raise NotImplementedError(
             "decode='real' covers PNG (stdlib zlib), PCM WAV (stdlib "
-            "wave), animated GIF (stdlib LZW), and baseline JPEG "
-            "(numpy T.81, gray + color incl. 4:2:0 subsampling); "
-            "other formats (MP4, ...) need "
+            "wave), animated GIF (stdlib LZW), and JPEG "
+            "(numpy T.81: baseline gray/color incl. 4:2:0 subsampling "
+            "+ progressive SOF2); other formats (MP4, ...) need "
             "PIL/librosa/ffmpeg — plug the codec in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:

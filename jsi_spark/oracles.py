@@ -474,6 +474,32 @@ def media_jpeg420_rows(n_media=30, max_side=16):
     return rows
 
 
+def media_jpeg_prog_rows(n_media=30, max_side=16):
+    """Golden for media_jpeg_prog_real. Progressive (SOF2) entropy
+    coding is LOSSLESS over the same quantized coefficients as
+    baseline, so the golden is the SAME 4:2:0 block-math reference
+    round trip the baseline query uses — any defect in the multi-scan
+    layer (spectral bands, EOB runs, successive-approximation bit
+    planes, refinement correction bits) shifts coefficients and
+    hash-mismatches."""
+    import numpy as np
+
+    from jsi_spark.ops.jpeg import reference_roundtrip_subsampled
+    from jsi_spark.ops.png import pixel_stats, synth_dims, synth_pixels
+    rows = []
+    for i in range(0, n_media, 3):   # media_kind 'image' ⇔ i % 3 == 0
+        ref = f"m{i}"
+        w, h = synth_dims(ref, max_side)
+        rgb = np.frombuffer(synth_pixels(ref, w, h, channels=3),
+                            dtype=np.uint8).reshape(h, w, 3)
+        exp = reference_roundtrip_subsampled(rgb, "420")
+        st = pixel_stats(exp.tobytes(), w, h)
+        q = [float(np.float32(x)) for x in st]
+        rows.append((ref, _round6(q[0]), _round6(q[1]), _round6(q[2]),
+                     _round6(q[6]), _round6(q[14])))
+    return rows
+
+
 def media_resize_rows(n_media=30, max_side=8, src_max_side=16):
     """Golden for media_resize_real: nearest-neighbor resample + stats
     computed directly on the source pixels (no codec), against the
@@ -634,6 +660,12 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
              "DOUBLE"]),
         "media_jpeg420_real": values_sql(
             media_jpeg420_rows(),
+            ["media_ref", "mean_r", "mean_g", "mean_b", "lum_h0",
+             "aspect"],
+            ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",
+             "DOUBLE"]),
+        "media_jpeg_prog_real": values_sql(
+            media_jpeg_prog_rows(),
             ["media_ref", "mean_r", "mean_g", "mean_b", "lum_h0",
              "aspect"],
             ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE", "DOUBLE",

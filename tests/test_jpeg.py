@@ -87,10 +87,17 @@ def test_malformed_rejected():
     good = encode_jpeg(synth_pixels("trunc", 8, 8, 1), 8, 8)
     with pytest.raises(JpegFormatError):
         decode_jpeg(good[:40])
-    # color / progressive declared out of subset by NAME
+    # unsupported SOF flavors declared out of subset by NAME
+    sof1 = bytearray(good)
+    sof1[sof1.find(b"\xff\xc0") + 1] = 0xC1    # extended sequential
+    with pytest.raises(JpegFormatError, match="SOF1"):
+        decode_jpeg(bytes(sof1))
+    # a baseline stream relabeled SOF2 is structurally invalid as
+    # progressive (its single scan covers Ss=0..Se=63) — named error,
+    # not garbage output
     sof2 = bytearray(good)
     sof2[sof2.find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(JpegFormatError, match="baseline"):
+    with pytest.raises(JpegFormatError):
         decode_jpeg(bytes(sof2))
 
 
@@ -299,3 +306,144 @@ def test_unsupported_subsampling_rejected():
     payload[sof + 11] = 0x41                  # luma 4x1
     with pytest.raises(JpegFormatError, match="sampling factors"):
         decode_jpeg(bytes(payload))
+
+
+# -- progressive (SOF2) -------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 16), (13, 9), (5, 7),
+                                 (8, 24), (31, 17), (1, 1), (9, 1),
+                                 (64, 48)])
+def test_progressive_gray_equals_reference(w, h):
+    """Progressive entropy coding is lossless over the quantized
+    coefficients, so the multi-scan round trip must bit-match the SAME
+    block-math reference as baseline — gating spectral selection, EOB
+    runs, and all four successive-approximation scan kinds."""
+    from jsi_spark.ops.jpeg import encode_jpeg_progressive
+    img = _gray(f"pg{w}x{h}", w, h)
+    payload = encode_jpeg_progressive(img.tobytes(), w, h, channels=1)
+    assert is_jpeg(payload)
+    assert b"\xff\xc2" in payload             # really SOF2
+    dw, dh, ch, dec = decode_jpeg(payload)
+    assert (dw, dh, ch) == (w, h, 1)
+    got = np.frombuffer(dec, dtype=np.uint8).reshape(h, w)
+    assert np.array_equal(got, reference_roundtrip(img))
+
+
+@pytest.mark.parametrize("sub", ["444", "420", "422", "440"])
+@pytest.mark.parametrize("w,h", [(16, 16), (13, 9), (1, 1), (17, 31)])
+def test_progressive_color_equals_reference(w, h, sub):
+    """Color progressive: interleaved DC scans over subsampled MCU
+    geometry + per-component non-interleaved AC band scans must land on
+    the same pixels as the baseline subsampled reference."""
+    from jsi_spark.ops.jpeg import (
+        encode_jpeg_progressive, reference_roundtrip_color,
+        reference_roundtrip_subsampled,
+    )
+    img = _rgb(f"pp{sub}{w}x{h}", w, h)
+    payload = encode_jpeg_progressive(img.tobytes(), w, h, channels=3,
+                                      subsampling=sub)
+    dw, dh, ch, dec = decode_jpeg(payload)
+    assert (dw, dh, ch) == (w, h, 3)
+    got = np.frombuffer(dec, dtype=np.uint8).reshape(h, w, 3)
+    exp = reference_roundtrip_color(img) if sub == "444" \
+        else reference_roundtrip_subsampled(img, sub)
+    assert np.array_equal(got, exp)
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """Baseline and progressive encode the same quantized coefficients
+    → identical decoded pixels, byte for byte (gray and 4:2:0 color)."""
+    from jsi_spark.ops.jpeg import (
+        encode_jpeg_color, encode_jpeg_progressive,
+    )
+    g = _gray("pbg", 23, 17)
+    assert decode_jpeg(encode_jpeg(g.tobytes(), 23, 17)) == \
+        decode_jpeg(encode_jpeg_progressive(g.tobytes(), 23, 17,
+                                            channels=1))
+    c = _rgb("pbc", 23, 17)
+    assert decode_jpeg(encode_jpeg_color(c.tobytes(), 23, 17,
+                                         subsampling="420")) == \
+        decode_jpeg(encode_jpeg_progressive(c.tobytes(), 23, 17,
+                                            channels=3,
+                                            subsampling="420"))
+
+
+def test_progressive_long_eob_runs():
+    """Smooth/flat content pushes whole AC bands to zero across many
+    consecutive blocks — EOBn symbols with n > 1 and extension bits
+    must round-trip (the code path Annex-K baseline tables never
+    exercise)."""
+    from jsi_spark.ops.jpeg import encode_jpeg_progressive
+    img = np.full((80, 200), 127, np.uint8)   # 250 blocks, all-zero AC
+    payload = encode_jpeg_progressive(img.tobytes(), 200, 80,
+                                      channels=1)
+    _, _, _, dec = decode_jpeg(payload)
+    assert np.array_equal(np.frombuffer(dec, np.uint8).reshape(80, 200),
+                          reference_roundtrip(img))
+    smooth = (np.add.outer(np.arange(96), np.arange(128)) % 256) \
+        .astype(np.uint8)
+    payload = encode_jpeg_progressive(smooth.tobytes(), 128, 96,
+                                      channels=1)
+    _, _, _, dec = decode_jpeg(payload)
+    assert np.array_equal(np.frombuffer(dec, np.uint8).reshape(96, 128),
+                          reference_roundtrip(smooth))
+
+
+def test_progressive_errors():
+    from jsi_spark.ops.jpeg import encode_jpeg_progressive
+    img = _gray("pe", 16, 16)
+    good = encode_jpeg_progressive(img.tobytes(), 16, 16, channels=1)
+    with pytest.raises(JpegFormatError):      # truncated entropy data
+        decode_jpeg(good[:-40])
+    with pytest.raises(JpegFormatError, match="channels"):
+        encode_jpeg_progressive(img.tobytes(), 16, 16, channels=2)
+    with pytest.raises(JpegFormatError, match="subsampling"):
+        encode_jpeg_progressive(_rgb("pe3", 8, 8).tobytes(), 8, 8,
+                                channels=3, subsampling="411")
+    # DRI before the scans is a named error in the progressive path too
+    bad = bytearray(good)
+    sos = bad.find(b"\xff\xda")
+    bad[sos:sos] = b"\xff\xdd\x00\x04\x00\x08"
+    with pytest.raises(JpegFormatError, match="restart"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_features_dispatch():
+    """extract_features' magic-byte dispatch decodes progressive
+    payloads transparently (same FFD8 signature, SOF2 inside)."""
+    from jsi_spark.ops.jpeg import (
+        encode_jpeg_progressive, reference_roundtrip_subsampled,
+    )
+    img = _rgb("mjp", 12, 10)
+    payload = encode_jpeg_progressive(img.tobytes(), 12, 10, channels=3,
+                                      subsampling="420")
+    feats = _real_decode_features(payload)
+    exp = reference_roundtrip_subsampled(img, "420")
+    assert feats == pytest.approx(
+        [float(np.float32(x)) for x in pixel_stats(exp.tobytes(),
+                                                   12, 10)], rel=1e-6)
+
+
+def test_progressive_media_distributed(spark):
+    """End-to-end through mapInPandas: progressive encode on executors,
+    multi-scan decode on executors, stats match the 4:2:0 block-math
+    golden (the same golden the baseline 420 query uses — pinning
+    baseline ≡ progressive at the pixel level, distributed)."""
+    from jsi_spark.ops.jpeg import reference_roundtrip_subsampled
+    from jsi_spark.ops.multimodal import (
+        extract_features, synth_jpeg_progressive_media,
+    )
+    from jsi_spark.session import ensure_py_files
+    ensure_py_files(spark)
+    dim = spark.createDataFrame(
+        [(f"m{i}", "image") for i in range(6)],
+        "media_ref string, media_kind string")
+    media = synth_jpeg_progressive_media(dim)
+    out = {r["media_ref"]: r["features"]
+           for r in extract_features(media, decode="real").collect()}
+    assert len(out) == 6
+    for ref, feats in out.items():
+        w, h = synth_dims(ref)
+        exp = reference_roundtrip_subsampled(_rgb(ref, w, h), "420")
+        assert feats == pytest.approx(pixel_stats(exp.tobytes(), w, h),
+                                      rel=1e-6)
