@@ -832,6 +832,39 @@ def q_media_jpeg_prog_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("aspect"))
 
 
+def q_media_mp4_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4-container counterpart of media_frames_real: deterministic
+    MJPEG-in-MP4 payloads (ISO-BMFF box writer, each sample a 4:2:0
+    baseline JPEG), DEMUXED through the real stts/stsc/stsz/stco
+    sample-table walk (ops.mp4.decode_mp4), frame-sampled at a 100 ms
+    cadence, each sampled frame entropy-decoded (T.81) and re-encoded
+    as a standalone PNG, then fed through extract_features — the full
+    container → samples → frames → image composition. The oracle
+    (oracles.media_mp4_frames_rows) computes the same sampled indices
+    and statistics via the pure block-math JPEG reference, no
+    container or entropy code."""
+    ensure_py_files(spark)
+    from jsi_spark.ops.multimodal import sample_frames, synth_mp4_media
+    frames = sample_frames(synth_mp4_media(_media_dim(spark)),
+                           every_ms=100)
+    as_media = frames.select(
+        F.concat_ws("#", "media_ref",
+                    F.col("frame_index").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_kind"), "payload", "width", "height",
+        F.lit(None).cast("int").alias("duration_ms"))
+    feats = extract_features(as_media, decode="real").select(
+        F.col("media_ref").alias("frame_key"),
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .alias("mean_r"),
+        F.round(F.element_at("features", 7).cast("double"), 6)
+        .alias("lum_h0"))
+    keyed = frames.select(
+        "media_ref", "frame_index", "t_ms", "width", "height",
+        F.concat_ws("#", "media_ref",
+                    F.col("frame_index").cast("string")).alias("frame_key"))
+    return keyed.join(feats, "frame_key").drop("frame_key")
+
+
 def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming validation pass: the generic-path JSON
     validator runs over a file STREAM of events; per-window verdict
@@ -1033,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_color_real": q_media_jpeg_color_real,
         "media_jpeg420_real": q_media_jpeg420_real,
         "media_jpeg_prog_real": q_media_jpeg_prog_real,
+        "media_mp4_frames_real": q_media_mp4_frames_real,
         "media_wav_real": q_media_wav_real,
         "media_resize_real": q_media_resize_real,
         "media_frames_real": q_media_frames_real,

@@ -12,10 +12,11 @@ animated GIF (:mod:`jsi_spark.ops.gif`, variable-width LZW), and
 JPEG (:mod:`jsi_spark.ops.jpeg`, T.81 DCT + canonical Huffman —
 grayscale, 4:4:4 color, 4:2:0/4:2:2/4:4:0 chroma subsampling, and
 PROGRESSIVE SOF2 with spectral selection + successive
-approximation) — and derives features from the actual
-pixels/samples/frames; other formats (MP4, ...) still raise
-NotImplementedError at the exact point PIL/librosa/ffmpeg would
-plug in.
+approximation), plus MJPEG-in-MP4 container demux
+(:mod:`jsi_spark.ops.mp4`, ISO-BMFF box walk + stts/stsc/stsz/stco
+sample tables) — and derives features from the actual
+pixels/samples/frames; other codecs still raise NotImplementedError
+at the exact point PIL/librosa/ffmpeg would plug in.
 """
 
 from __future__ import annotations
@@ -256,6 +257,41 @@ def synth_gif_media(media_dim: DataFrame, max_side: int = 12,
     return vids.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_mp4_media(media_dim: DataFrame, max_side: int = 16,
+                    max_frames: int = 5) -> DataFrame:
+    """Attach REAL (tiny, deterministic) MJPEG-in-MP4 payloads to the
+    video rows of the media_dim table — the ISO-BMFF counterpart of
+    :func:`synth_gif_media`: frame count/size/delay derived from the
+    ref (jsi_spark.ops.mp4.synth_mp4_params), each frame a 4:2:0
+    baseline color JPEG of the SHA-256 pixel stream, muxed through the
+    stdlib box writer."""
+    from jsi_spark.ops import jpeg, mp4, png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                w, h, n_frames, delay = mp4.synth_mp4_params(
+                    ref, max_side, max_frames)
+                frames = [(delay, jpeg.encode_jpeg_color(
+                    png.synth_pixels(f"{ref}#f{i}", w, h, channels=3),
+                    w, h, subsampling="420"))
+                    for i in range(n_frames)]
+                payload = mp4.encode_mp4(frames, w, h)
+                rows.append((ref, payload, w, h, n_frames * delay))
+            out = pd.DataFrame(rows, columns=["media_ref", "payload",
+                                              "width", "height",
+                                              "duration_ms"])
+            out["media_kind"] = "video"
+            yield out[["media_ref", "media_kind", "payload",
+                       "width", "height", "duration_ms"]]
+
+    ensure_py_files(media_dim.sparkSession)
+    vids = media_dim.filter(F.col("media_kind") == "video") \
+        .select("media_ref")
+    return vids.mapInPandas(run, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_ref", T.StringType()),
     T.StructField("frame_index", T.IntegerType()),
@@ -269,11 +305,13 @@ FRAME_SCHEMA = T.StructType([
 def sample_frames(media: DataFrame, every_ms: int = 100,
                   decode: str = "real") -> DataFrame:
     """Frame sampling over multi-frame payloads: decode each animated
-    GIF, keep the frame on screen at t = 0, every_ms, 2*every_ms, ...
-    (gif.sample_ticks — pure integer math shared with the oracle), and
-    re-encode each sampled frame as a standalone RGB PNG row. The output
-    rows compose with extract_features / resize_images (decode="real"),
-    i.e. video → frames → image pipeline on real codecs end-to-end.
+    GIF (stdlib LZW) or MJPEG MP4 (ISO-BMFF sample-table demux +
+    T.81 JPEG per frame), keep the frame on screen at t = 0, every_ms,
+    2*every_ms, ... (gif.sample_ticks — pure integer math shared with
+    the oracle), and re-encode each sampled frame as a standalone RGB
+    PNG row. The output rows compose with extract_features /
+    resize_images (decode="real"), i.e. video → frames → image
+    pipeline on real codecs end-to-end.
 
     One exploded row per sampled frame; Arrow-batched mapInPandas, no
     per-row UDF boundary. At 100 TB the explode is the scale risk, not
@@ -282,24 +320,40 @@ def sample_frames(media: DataFrame, every_ms: int = 100,
     if decode != "real":
         raise ValueError("sample_frames decodes actual frames; only "
                          "decode='real' is meaningful")
-    from jsi_spark.ops import gif, png
+    from jsi_spark.ops import gif, jpeg, mp4, png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if not gif.is_gif(payload):
+                if gif.is_gif(payload):
+                    w, h, pal, frames = gif.decode_gif(bytes(payload))
+                    rgbs = None
+                elif mp4.is_mp4(payload):
+                    w, h, frames = mp4.decode_mp4(bytes(payload))
+                    rgbs = {}
+                else:
                     raise NotImplementedError(
-                        "sample_frames covers animated GIF (stdlib LZW); "
-                        "other containers need ffmpeg — plug the "
-                        "demuxer in here")
-                w, h, pal, frames = gif.decode_gif(bytes(payload))
+                        "sample_frames covers animated GIF (stdlib "
+                        "LZW) and MJPEG MP4 (ISO-BMFF demux); other "
+                        "containers need ffmpeg — plug the demuxer "
+                        "in here")
                 delays = [d for d, _ in frames]
                 starts = [0]
                 for d in delays[:-1]:
                     starts.append(starts[-1] + d)
                 for i in gif.sample_ticks(delays, every_ms):
-                    rgb = gif.expand_palette(frames[i][1], pal)
+                    if rgbs is None:            # GIF: indexed + palette
+                        rgb = gif.expand_palette(frames[i][1], pal)
+                    elif i in rgbs:             # MP4: decode each JPEG once
+                        rgb = rgbs[i]
+                    else:
+                        fw, fh, ch, rgb = jpeg.decode_jpeg(frames[i][1])
+                        if (fw, fh, ch) != (w, h, 3):
+                            raise NotImplementedError(
+                                "MJPEG sample dims/channels diverge "
+                                "from the track header")
+                        rgbs[i] = rgb
                     rows.append((ref, i, starts[i],
                                  png.encode_png(rgb, w, h, color_type=2),
                                  w, h))
@@ -326,7 +380,13 @@ def _real_decode_features(payload: bytes):
     statistics features. Per-payload Python is the
     nature of codecs (PIL is, too) — the batching above this stays
     Arrow."""
-    from jsi_spark.ops import gif, jpeg, png, wav
+    from jsi_spark.ops import gif, jpeg, mp4, png, wav
+    if mp4.is_mp4(payload):
+        # clip-level features: pixel stats of the first MJPEG sample
+        # (frame-granular work goes through sample_frames, as for GIF)
+        w, h, frames = mp4.decode_mp4(bytes(payload))
+        fw, fh, _ch, rgb = jpeg.decode_jpeg(frames[0][1])
+        return [float(x) for x in png.pixel_stats(rgb, fw, fh)]
     if wav.is_wav(payload):
         rate, ch, samples = wav.decode_wav(bytes(payload))
         return [float(x) for x in wav.audio_stats(samples, rate, ch)]
@@ -348,10 +408,11 @@ def _real_decode_features(payload: bytes):
     if not png.is_png(payload):
         raise NotImplementedError(
             "decode='real' covers PNG (stdlib zlib), PCM WAV (stdlib "
-            "wave), animated GIF (stdlib LZW), and JPEG "
+            "wave), animated GIF (stdlib LZW), JPEG "
             "(numpy T.81: baseline gray/color incl. 4:2:0 subsampling "
-            "+ progressive SOF2); other formats (MP4, ...) need "
-            "PIL/librosa/ffmpeg — plug the codec in here")
+            "+ progressive SOF2), and MJPEG MP4 (ISO-BMFF demux); "
+            "other formats need PIL/librosa/ffmpeg — plug the codec "
+            "in here")
     w, h, ch, px = png.decode_png(bytes(payload))
     if ch != 3:
         # promote gray / strip alpha to RGB for uniform stats

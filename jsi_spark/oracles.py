@@ -554,6 +554,40 @@ def media_frames_rows(n_media=30, every_ms=100, max_side=12,
     return rows
 
 
+def media_mp4_frames_rows(n_media=30, every_ms=100, max_side=16,
+                          max_frames=5):
+    """Golden for media_mp4_frames_real: frame sampling + pixel
+    statistics computed on the deterministic synthetic frames through
+    the pure block-math 4:2:0 JPEG reference (constructors +
+    sample_ticks — NO container/marker/Huffman code), while the engine
+    muxes real MJPEG MP4s, demuxes them through the ISO-BMFF sample
+    tables, entropy-decodes each sampled JPEG, and round-trips the
+    frame through PNG — any defect in the box framing, the
+    stts/stsc/stsz/stco walk, the duration math, or either codec
+    diverges here."""
+    import numpy as np
+
+    from jsi_spark.ops.gif import sample_ticks
+    from jsi_spark.ops.jpeg import reference_roundtrip_subsampled
+    from jsi_spark.ops.mp4 import synth_mp4_params
+    from jsi_spark.ops.png import pixel_stats, synth_pixels
+    rows = []
+    for i in range(2, n_media, 3):   # media_kind 'video' ⇔ i % 3 == 2
+        ref = f"m{i}"
+        w, h, n_frames, delay = synth_mp4_params(ref, max_side,
+                                                 max_frames)
+        for j in sample_ticks([delay] * n_frames, every_ms):
+            rgb = np.frombuffer(
+                synth_pixels(f"{ref}#f{j}", w, h, channels=3),
+                dtype=np.uint8).reshape(h, w, 3)
+            exp = reference_roundtrip_subsampled(rgb, "420")
+            st = pixel_stats(exp.tobytes(), w, h)
+            q = [float(np.float32(x)) for x in st]
+            rows.append((ref, j, j * delay, w, h,
+                         _round6(q[0]), _round6(q[6])))
+    return rows
+
+
 def media_wav_rows(n_media=30, sample_rate=16000):
     """Golden for media_wav_real: audio statistics computed DIRECTLY on
     the deterministic synthetic samples — the engine round-trips them
@@ -680,6 +714,12 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             ["VARCHAR", "INTEGER", "INTEGER", "DOUBLE", "DOUBLE"]),
         "media_frames_real": values_sql(
             media_frames_rows(),
+            ["media_ref", "frame_index", "t_ms", "width", "height",
+             "mean_r", "lum_h0"],
+            ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+             "DOUBLE", "DOUBLE"]),
+        "media_mp4_frames_real": values_sql(
+            media_mp4_frames_rows(),
             ["media_ref", "frame_index", "t_ms", "width", "height",
              "mean_r", "lum_h0"],
             ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER",

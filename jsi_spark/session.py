@@ -28,17 +28,42 @@ def ensure_py_files(spark: SparkSession) -> None:
     if key in _PY_FILES_SENT:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(),
-                            f"jsi_spark_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full,
-                                              os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+    if not os.path.isdir(pkg_dir):
+        # the package was itself imported from a --py-files zip (e.g. a
+        # spark-submit child): re-ship THAT zip rather than walking a
+        # zip path, which silently yields an empty archive
+        src = pkg_dir
+        while src and not src.lower().endswith(".zip"):
+            parent = os.path.dirname(src)
+            if parent == src:
+                break
+            src = parent
+        if not (src and os.path.isfile(src)):
+            raise RuntimeError(
+                f"jsi_spark imported from {pkg_dir!r}: cannot locate "
+                "the enclosing archive to ship to executors")
+        spark.sparkContext.addPyFile(src)
+        _PY_FILES_SENT.add(key)
+        return
+    # fresh, uniquely named zip per driver process — a pid-keyed name
+    # reused across process generations can resurrect a stale archive
+    # missing newer modules (observed: empty zips breaking executor
+    # imports after pid recycling)
+    fd, zip_path = tempfile.mkstemp(prefix="jsi_spark_pyfiles_",
+                                    suffix=".zip")
+    os.close(fd)
+    n = 0
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+                    n += 1
+    if n == 0:
+        raise RuntimeError(f"no .py files under {pkg_dir!r} — refusing "
+                           "to ship an empty package to executors")
     spark.sparkContext.addPyFile(zip_path)
     _PY_FILES_SENT.add(key)
 
