@@ -43,6 +43,7 @@ from jsi_spark.ops.multimodal import (
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
     ivf_topk, lsh_tables, lsh_topk, make_queries, near_dup_planes,
+    semantic_dedup,
 )
 from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
 from jsi_spark.ops.text import repetition_features, text_profile
@@ -630,6 +631,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nprobe=3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means cells (quantizer trained on
+    the same bounded TakeOrdered sample as ann_ivf — at 10^12 rows it
+    never scans the corpus) + within-cell exact-cosine drop list. The
+    within-cell self-join shuffles only (id, cell) longs; vectors ride
+    one by-id re-join. threshold=0.35 for the same reason emb_near_dups
+    uses 0.4: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.5), so a production 0.95 returns nothing. The
+    golden oracle (jsi_spark.oracles.semantic_dedup_rows) shares the
+    quantizer trainer verbatim and mirrors the kernel dispatch."""
+    emb = _persist_op(_emb_double(spark, sf_dir))
+    cents = ivf_centroids(emb, n_centroids=8)
+    return semantic_dedup(emb, cents, threshold=0.35)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_py_files(spark)
     media = synth_media(_media_dim(spark))
@@ -1060,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "emb_near_dups": q_emb_near_dups,
         "ann_ivf": q_ann_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
         "media_jpeg_real": q_media_jpeg_real,

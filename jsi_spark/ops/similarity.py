@@ -474,3 +474,63 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "sim"))
+
+
+# -- SemDeDup -----------------------------------------------------------------------
+
+def semantic_dedup(emb: DataFrame, centroids: list,
+                   threshold: float = 0.35,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cell_size: int | None = None,
+                   impl: str = "auto") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic deduplication via k-means cells + within-cell exact
+    cosine. Returns the DROP LIST ``(vec_id, cell, dup_of, sim)``: a
+    vector is dropped iff some LOWER-id vector in its cell has rounded
+    cosine >= threshold; ``dup_of`` is the smallest such partner and
+    ``sim`` its similarity. Keep-set = corpus minus these rows. The
+    any-lower-id rule is the parallel single-join variant of the
+    paper's keep-one-per-duplicate-group — deterministic and
+    partition-order-independent (pinned in tests).
+
+    Scale shape: cell assignment is ONE corpus pass sharing IVF's
+    kernel dispatch (JVM Column fold below ARROW_MIN_OPS, Arrow GEMM
+    above); the within-cell self-join shuffles ONLY (id, cell) longs —
+    vectors re-join by id for the exact verify, exactly like
+    ``embedding_near_duplicates``. At 10^12 docs n_centroids scales
+    with the corpus (SemDeDup uses ~corpus/1e4 clusters) so expected
+    cell size is bounded; ``max_cell_size`` defuses degenerate cells
+    the same way the LSH bucket cap does (a cell of B vectors is
+    B^2/2 candidate pairs). Quantizer training stays sample-bounded
+    via ``ivf_centroids``.
+    """
+    from jsi_spark.ops.dedup import _persist
+
+    impl = _resolve_impl(impl, len(centroids), len(centroids[0]))
+    ids = _persist(emb.select(
+        F.col(id_col).alias("_id"),
+        _assign(vec_col, centroids, impl).alias("cell")))
+    if max_cell_size is not None:
+        ok = (ids.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= max_cell_size).drop("_n"))
+        ids = ids.join(ok, "cell")
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a.cell").alias("cell")))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if impl == "arrow":
+        sim = cosine_pairs_arrow()(F.col("_va"), F.col("_vb"))
+    else:
+        sim = cosine(F.col("_va"), F.col("_vb"))
+    pairs = (cand.join(va, "id_a").join(vb, "id_b")
+             .select("id_b", "cell", "id_a", F.round(sim, 6).alias("sim"))
+             .filter(F.col("sim") >= threshold))
+    return (pairs.groupBy("id_b", "cell")
+            .agg(F.min(F.struct("id_a", "sim")).alias("_m"))
+            .select(F.col("id_b").alias(id_col), "cell",
+                    F.col("_m.id_a").alias("dup_of"),
+                    F.col("_m.sim").alias("sim")))

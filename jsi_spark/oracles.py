@@ -359,6 +359,67 @@ def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
     return _topk_rows(cand, vecs, k)
 
 
+def semantic_dedup_rows(emb, threshold=0.35, n_centroids=8,
+                        max_cell_size=None):
+    """Golden for ops.similarity.semantic_dedup: quantizer training is
+    the engine's own driver-side ``train_quantizer`` (shared verbatim,
+    same rationale as ann_ivf_rows); cell assignment and pair cosine
+    mirror whichever kernel the engine's impl="auto" resolves
+    (``use_arrow_impl`` over the centroid matrix). Drop rule: a vector
+    is dropped iff some lower-id vector in its cell has rounded cosine
+    >= threshold; dup_of = the SMALLEST such partner."""
+    from jsi_spark.ops.similarity import train_quantizer, use_arrow_impl
+
+    refined = train_quantizer([(i, list(v)) for i, v in emb], n_centroids)
+    dim = len(refined[0])
+    arrow = use_arrow_impl(n_centroids, dim)
+    if arrow:
+        mat = np.asarray([v for _, v in emb], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        assigned = list(np.argmax(
+            (mat @ np.asarray(refined, dtype=np.float64).T) / norms,
+            axis=1))
+    else:
+        assigned = []
+        for _, v in emb:
+            nv = _norm(v)
+            best_i, best_s = 0, -1e30
+            for j, c in enumerate(refined):
+                s = _dot(v, c) / nv
+                if s > best_s:
+                    best_i, best_s = j, s
+            assigned.append(best_i)
+
+    vecs = dict(emb)
+    nv = {k: np.asarray(v, dtype=np.float64) for k, v in vecs.items()}
+
+    def pair_sim(ia, ib):
+        if arrow:
+            a, b = nv[ia], nv[ib]
+            return _round6(float((a * b).sum()
+                                 / (np.sqrt((a * a).sum())
+                                    * np.sqrt((b * b).sum()))))
+        return _round6(_dot(vecs[ia], vecs[ib])
+                       / (_norm(vecs[ia]) * _norm(vecs[ib])))
+
+    cells = defaultdict(list)
+    for (vec_id, _), c in zip(emb, assigned):
+        cells[int(c)].append(vec_id)
+    rows = []
+    for c, members in cells.items():
+        if max_cell_size is not None and len(members) > max_cell_size:
+            continue
+        members.sort()
+        for y in range(len(members)):
+            for x in range(y):
+                sim = pair_sim(members[x], members[y])
+                if sim >= threshold:
+                    rows.append((members[y], c, members[x], sim))
+                    break
+    rows.sort()
+    return rows
+
+
 # -- media_features ------------------------------------------------------------
 
 def media_feature_rows(n_media=30, frame_sample_ms=1000, dim=16):
@@ -672,6 +733,10 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
         "ann_ivf": values_sql(
             ann_ivf_rows(emb), ["query_id", "vec_id", "rank", "sim"],
             ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
+        "semantic_dedup": values_sql(
+            semantic_dedup_rows(emb),
+            ["vec_id", "cell", "dup_of", "sim"],
+            ["BIGINT", "INTEGER", "BIGINT", "DOUBLE"]),
         "media_features": values_sql(
             media_feature_rows(), ["media_ref", "media_kind", "n_frames",
                                    "dim"],

@@ -735,3 +735,50 @@ def test_ivf_topk_empty_queries(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == \
         ["query_id", "vec_id", "rank", "sim"]
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDeDup drop rule: a planted near-identical copy of vector i
+    lands in i's cell (identical direction → identical argmax) and is
+    dropped with dup_of == i; near-orthogonal base vectors survive a
+    high threshold. Cap of 0 drops every cell → empty result."""
+    import random
+
+    from jsi_spark.ops.similarity import semantic_dedup, train_quantizer
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, [x * 1.0001 for x in base[i]]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_quantizer(rows, 4)
+    out = semantic_dedup(emb, cents, threshold=0.99).collect()
+    got = {(r.vec_id, r.dup_of) for r in out}
+    assert got == {(100 + i, i) for i in range(5)}
+    for r in out:
+        assert r.sim >= 0.99
+    assert semantic_dedup(emb, cents, threshold=0.0,
+                          max_cell_size=0).count() == 0
+
+
+def test_semantic_dedup_matches_golden(spark):
+    """Driver query ≡ pure-numpy golden (bit-exact, incl. rounded sim),
+    and invariant under input partitioning."""
+    import __spark_entry__ as entrymod
+    from jsi_spark.oracles import _read as oracle_read
+    from jsi_spark.oracles import semantic_dedup_rows
+
+    got = sorted(tuple(r) for r in
+                 entrymod.q_semantic_dedup(spark, SF_DIR).collect())
+    emb = [(vid, [float(x) for x in v])
+           for vid, v in oracle_read(SF_DIR, "embeddings",
+                                     ["vec_id", "embedding"])]
+    assert got == sorted(semantic_dedup_rows(emb))
+    assert len(got) > 0
+
+    # partition-layout independence: same corpus, adversarial layout
+    from jsi_spark.ops.similarity import ivf_centroids, semantic_dedup
+    emb_df = entrymod._emb_double(spark, SF_DIR).repartition(13)
+    cents = ivf_centroids(emb_df, n_centroids=8)
+    got2 = sorted(tuple(r) for r in
+                  semantic_dedup(emb_df, cents, threshold=0.35).collect())
+    assert got2 == got

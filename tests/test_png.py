@@ -101,9 +101,18 @@ def test_real_decode_features_promotes_to_rgb():
 
 
 def test_real_decode_rejects_unknown_format():
-    # JPEG now dispatches to its own codec; an MP4-ish payload is the
-    # remaining named plug point
+    # every named format (PNG/JPEG/GIF/WAV/MP4) now dispatches to its
+    # own codec; a payload matching none of them is the remaining
+    # named plug point
     with pytest.raises(NotImplementedError, match="PNG"):
+        _real_decode_features(b"\x00\x01free-form bytes, no magic")
+
+
+def test_real_decode_malformed_mp4_raises():
+    # an ftyp magic with a box size past EOF is a corrupt file, not an
+    # unknown format — the MP4 codec reports it as such
+    from jsi_spark.ops.mp4 import Mp4FormatError
+    with pytest.raises(Mp4FormatError):
         _real_decode_features(b"\x00\x00\x00\x18ftypmp42 video-ish")
 
 
