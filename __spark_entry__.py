@@ -975,6 +975,52 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "event_type")
 
 
+STREAM_PSI_EDGES = [10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+
+
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: watermarked DAILY event-time windows ×
+    fixed bin edges over `value` → running histogram counts
+    (jsi_spark.streaming.windowed_bin_counts — state is windows × bins,
+    independent of event volume), then PSI of each day vs the FIRST
+    day's distribution (exec.drift.psi_per_window) as a batch read of
+    the drained state table — exactly how a production drift monitor
+    scores its state store. Fixed edges (not quantile-trained) keep
+    binning identical across the stream lifetime. Drained with
+    availableNow in complete mode so every window reaches the oracle,
+    which recomputes the same epoch-aligned daily windows + PSI in SQL."""
+    import os
+    import tempfile
+    import uuid
+
+    from jsi_spark.exec.drift import psi_per_window
+    from jsi_spark.streaming import windowed_bin_counts
+
+    src_dir = _stream_src_dir(sf_dir, "events", "pd")
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .select(F.col("ts").cast("timestamp").alias("ts"), "value"))
+    counts = windowed_bin_counts(stream, "ts", "value",
+                                 STREAM_PSI_EDGES,
+                                 window="1 day", watermark="1 day")
+    name = "pd_" + uuid.uuid4().hex[:12]
+    # state partitions sized to the state (~30 days × 8 buckets), same
+    # rationale as q_stream_validation
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (counts.writeStream.outputMode("complete").format("memory")
+             .queryName(name)
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="pd_ckpt_"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return psi_per_window(spark.table(name))
+
+
 _INC_PIPELINE = None
 
 
@@ -1063,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_source_cap": q_stream_source_cap,
         "stream_validation": q_stream_validation,
         "stream_dedup": q_stream_dedup,
+        "stream_psi_drift": q_stream_psi_drift,
         "source_budget": q_source_budget,
         "dedup_exact": q_dedup_exact,
         "decontamination": q_decontamination,
@@ -1189,6 +1236,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'value' AS column,
                ROUND(SUM((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi
         FROM j
+    """
+
+    # streaming windowed PSI mirror: Spark's window('1 day') starts are
+    # epoch-aligned UTC = floor(epoch/86400)*86400 (alignment pinned
+    # epoch-exact by the stream_validation hourly oracle); bin CASE
+    # mirrors exec.drift.bin_column over STREAM_PSI_EDGES
+    _bin_case = ("CASE WHEN value IS NULL THEN -1 "
+                 + " ".join(f"WHEN value < {e} THEN {i}"
+                            for i, e in enumerate(STREAM_PSI_EDGES))
+                 + f" ELSE {len(STREAM_PSI_EDGES)} END")
+    stream_psi_sql = f"""
+        WITH binned AS (
+          SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+                   AS win_start,
+                 {_bin_case} AS bucket
+          FROM events),
+        shares AS (
+          SELECT win_start, bucket,
+                 COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY win_start)
+                   AS p
+          FROM binned GROUP BY win_start, bucket),
+        base AS (
+          SELECT bucket, p AS q FROM shares
+          WHERE win_start = (SELECT min(win_start) FROM shares)),
+        grid AS (
+          SELECT w.win_start, b.bucket
+          FROM (SELECT DISTINCT win_start FROM shares) w
+          CROSS JOIN (SELECT DISTINCT bucket FROM shares) b),
+        j AS (
+          SELECT g.win_start,
+                 COALESCE(s.p, 0.0) AS p, COALESCE(base.q, 0.0) AS q
+          FROM grid g
+          LEFT JOIN shares s
+            ON s.win_start = g.win_start AND s.bucket = g.bucket
+          LEFT JOIN base ON base.bucket = g.bucket)
+        SELECT win_start,
+               ROUND(SUM((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi
+        FROM j GROUP BY win_start
     """
 
     token_regex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1396,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
                    'm' || CAST(doc_id % 40 AS VARCHAR) AS media_ref
             FROM documents WHERE doc_id % 3 = 0 AND doc_id % 40 >= 30""",
         "psi_value_drift": psi_sql,
+        "stream_psi_drift": stream_psi_sql,
         "token_counts": f"""
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

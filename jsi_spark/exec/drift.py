@@ -70,3 +70,37 @@ def psi(current: DataFrame, reference: DataFrame, col: str,
             * F.log((F.col("p") + EPS) / (F.col("q") + EPS)))
     return joined.agg(F.lit(col).alias("column"),
                       F.sum(term).alias("psi"))
+
+
+def psi_per_window(counts: DataFrame) -> DataFrame:
+    """PSI of each window's bin distribution vs the EARLIEST window's
+    (the drift baseline) → (win_start, psi). Input is the
+    (win_start, bucket, n) table a streaming windowed histogram
+    maintains (jsi_spark.streaming.windowed_bin_counts) — by
+    construction it is windows × bins rows, so every join here is
+    broadcast-sized regardless of how many events the stream ingested;
+    this is the batch scoring read of a drift monitor's state table."""
+    from pyspark.sql.window import Window as W
+
+    # every branch below derives from the same `counts` plan — rename
+    # the join keys per branch so Catalyst never sees the same
+    # attribute on both sides of a join
+    shares = counts.select(
+        F.col("win_start").alias("s_win"), F.col("bucket").alias("s_b"),
+        (F.col("n") / F.sum("n").over(W.partitionBy("win_start")))
+        .alias("p"))
+    minw = counts.groupBy().agg(F.min("win_start").alias("s_win"))
+    base = (shares.join(F.broadcast(minw), "s_win")
+            .select(F.col("s_b").alias("q_b"), F.col("p").alias("q")))
+    grid = (counts.select(F.col("win_start").alias("g_win")).distinct()
+            .crossJoin(F.broadcast(
+                counts.select(F.col("bucket").alias("g_b")).distinct())))
+    j = (grid.join(shares, (F.col("g_win") == F.col("s_win"))
+                   & (F.col("g_b") == F.col("s_b")), "left")
+         .join(F.broadcast(base), F.col("g_b") == F.col("q_b"), "left")
+         .select(F.col("g_win").alias("win_start"),
+                 F.coalesce("p", F.lit(0.0)).alias("p"),
+                 F.coalesce("q", F.lit(0.0)).alias("q")))
+    term = ((F.col("p") - F.col("q"))
+            * F.log((F.col("p") + EPS) / (F.col("q") + EPS)))
+    return j.groupBy("win_start").agg(F.round(F.sum(term), 6).alias("psi"))

@@ -161,3 +161,25 @@ def write_snapshot_sink(df: DataFrame, table: SnapshotTable,
     picks the trigger and calls start())."""
     return (df.writeStream.foreachBatch(snapshot_batch_writer(table))
             .option("checkpointLocation", checkpoint_dir))
+
+
+def windowed_bin_counts(docs: DataFrame, ts_col: str, value_col: str,
+                        edges: list, window: str = "1 day",
+                        watermark: str = "1 day") -> DataFrame:
+    """Streaming histogram state for drift monitoring: watermarked
+    event-time windows × fixed bin edges → running counts
+    (win_start, bucket, n). State is bounded by windows-in-horizon ×
+    (len(edges)+2) buckets — independent of event volume — and the
+    count agg is map-side partial like any hash aggregate. Score the
+    drained/queried state with exec.drift.psi_per_window; fixed edges
+    (vs quantile-trained) keep the binning identical across the whole
+    stream lifetime, which windowed PSI requires."""
+    from jsi_spark.exec.drift import bin_column
+
+    return (docs
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"),
+                     bin_column(F.col(value_col), edges).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("win_start"),
+                    "bucket", "n"))

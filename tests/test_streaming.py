@@ -202,3 +202,59 @@ def test_dedup_stream_drops_redeliveries(spark, tv, tmp_path):
     got = out.read(spark)
     assert got.count() == 100
     assert got.select("doc_id").distinct().count() == 100
+
+
+def test_psi_per_window_matches_hand_computation(spark):
+    """PSI of each window vs the earliest window on a literal counts
+    table — hand-computed expectation, including a bucket missing on
+    one side (coalesced to share 0)."""
+    import math
+
+    from jsi_spark.exec.drift import EPS, psi_per_window
+    counts = spark.createDataFrame(
+        [(0, 0, 50), (0, 1, 50),            # baseline: 0.5 / 0.5 / 0
+         (100, 0, 20), (100, 1, 60), (100, 2, 20)],  # drifted + new bin
+        "win_start long, bucket int, n long")
+    got = {r.win_start: r.psi for r in psi_per_window(counts).collect()}
+    assert got[0] == 0.0
+    p, q = [0.2, 0.6, 0.2], [0.5, 0.5, 0.0]
+    want = sum((pi - qi) * math.log((pi + EPS) / (qi + EPS))
+               for pi, qi in zip(p, q))
+    assert got[100] == round(want, 6)
+
+
+def test_windowed_bin_counts_streaming_state_shape(spark, tmp_path):
+    """The streaming histogram aggregates counts per (window, bucket) —
+    state rows = windows x occupied buckets, independent of event
+    volume — and drains to the same counts a batch groupBy produces."""
+    from jsi_spark.exec.drift import bin_column
+    from jsi_spark.streaming import windowed_bin_counts
+
+    src = str(tmp_path / "psi_src")
+    os.makedirs(src)
+    rows = [(i, f"2026-01-0{1 + i % 3} 12:00:00", float(i % 7) * 30.0)
+            for i in range(600)]
+    batch = (spark.createDataFrame(rows, "i long, ts_s string, value double")
+             .select(F.to_timestamp("ts_s").alias("ts"), "value"))
+    batch.coalesce(1).write.mode("append").parquet(src)
+    edges = [30.0, 60.0, 120.0]
+    stream = spark.readStream.schema("ts timestamp, value double") \
+        .parquet(src)
+    counts = windowed_bin_counts(stream, "ts", "value", edges,
+                                 window="1 day", watermark="1 day")
+    lp = counts._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in lp, lp[:400]
+    name = "pwb_test"
+    q = (counts.writeStream.outputMode("complete").format("memory")
+         .queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(tuple(r) for r in (
+        batch.groupBy(F.window("ts", "1 day").alias("w"),
+                      bin_column(F.col("value"), edges).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("win_start"),
+                "bucket", "n")).collect())
+    assert got == want and len(got) == 3 * 4  # 3 days x 4 occupied bins
