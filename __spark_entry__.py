@@ -43,7 +43,7 @@ from jsi_spark.ops.multimodal import (
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
     ivf_topk, lsh_tables, lsh_topk, make_queries, near_dup_planes,
-    semantic_dedup,
+    pq_codebooks, pq_topk, semantic_dedup,
 )
 from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
 from jsi_spark.ops.text import repetition_features, text_profile
@@ -631,6 +631,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nprobe=3)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. TPAMI 2011): codebooks
+    trained on the bounded TakeOrdered sample (never the corpus), ONE
+    encode pass compresses each vector to m=8 int codes (the 100 TB
+    memory story — the search scan shrinks ~32x and never re-reads the
+    vector column), then asymmetric-distance top-k as a pure-JVM fold
+    over broadcast literal LUTs. Golden oracle
+    (jsi_spark.oracles.ann_pq_rows) shares train_pq + pq_luts verbatim
+    and mirrors the encode kernel dispatch."""
+    emb = _persist_op(_emb_double(spark, sf_dir))
+    books = pq_codebooks(emb, m=8, n_codes=16)
+    return pq_topk(emb, make_queries(emb, ANN_QUERY_IDS), books, k=5)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means cells (quantizer trained on
     the same bounded TakeOrdered sample as ann_ivf — at 10^12 rows it
@@ -1124,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
+        "ann_pq": q_ann_pq,
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
         "media_jpeg_real": q_media_jpeg_real,

@@ -478,6 +478,24 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
 
 # -- SemDeDup -----------------------------------------------------------------------
 
+def semantic_cell_assignments(emb: DataFrame, centroids: list,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              impl: str = "auto") -> DataFrame:
+    """(_id, cell) k-means cell assignments — the longs-only projection
+    semantic_dedup self-joins on, persisted via ops.dedup's session
+    cache (callers release with ``jsi_spark.ops.dedup
+    .release_caches()``). Public so scale tooling can census cell sizes
+    with the exact production assignment (same role as
+    ``lsh_bucket_assignments``)."""
+    from jsi_spark.ops.dedup import _persist
+
+    impl = _resolve_impl(impl, len(centroids), len(centroids[0]))
+    return _persist(emb.select(
+        F.col(id_col).alias("_id"),
+        _assign(vec_col, centroids, impl).alias("cell")))
+
+
 def semantic_dedup(emb: DataFrame, centroids: list,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -504,12 +522,9 @@ def semantic_dedup(emb: DataFrame, centroids: list,
     B^2/2 candidate pairs). Quantizer training stays sample-bounded
     via ``ivf_centroids``.
     """
-    from jsi_spark.ops.dedup import _persist
-
+    ids = semantic_cell_assignments(emb, centroids, id_col, vec_col,
+                                    impl)
     impl = _resolve_impl(impl, len(centroids), len(centroids[0]))
-    ids = _persist(emb.select(
-        F.col(id_col).alias("_id"),
-        _assign(vec_col, centroids, impl).alias("cell")))
     if max_cell_size is not None:
         ok = (ids.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
               .filter(F.col("_n") <= max_cell_size).drop("_n"))
@@ -534,3 +549,185 @@ def semantic_dedup(emb: DataFrame, centroids: list,
             .select(F.col("id_b").alias(id_col), "cell",
                     F.col("_m.id_a").alias("dup_of"),
                     F.col("_m.sim").alias("sim")))
+
+
+# -- Product quantization (PQ) ------------------------------------------------------
+
+def train_pq(sample: list, m: int = 8, n_codes: int = 16) -> list:
+    """Deterministic PQ codebook training (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public)
+    over an in-memory sample of (id, vector) rows: the vector is split
+    into ``m`` contiguous subvectors; per subspace, hash-ordered seeds
+    + one Lloyd step under L2 (assign by squared distance, argmin
+    keeps the FIRST min; empty cell keeps its seed) — the same
+    training recipe as ``train_quantizer`` with L2 in place of cosine.
+    Returns codebooks[m][n_codes][dim/m]. Shared VERBATIM by the
+    engine (``pq_codebooks``) and the golden oracle
+    (jsi_spark.oracles.ann_pq_rows) so codebook float association can
+    never drift between them."""
+    import numpy as np
+
+    from jsi_spark.functions.xxh64 import xxhash64
+
+    rows = sorted(sample, key=lambda r: (xxhash64(("long", r[0])) % 997,
+                                         r[0]))
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    mat = np.asarray([v for _, v in rows], dtype=np.float64)
+    books = []
+    for s in range(m):
+        sub = mat[:, s * d_sub:(s + 1) * d_sub]
+        seeds = sub[:n_codes].copy()
+        d2 = ((sub[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+        cell = np.argmin(d2, axis=1)
+        book = [list(map(float, seeds[c])) for c in range(len(seeds))]
+        for c in range(len(seeds)):
+            members = sub[cell == c]
+            if len(members):
+                book[c] = [float(x) for x in members.mean(axis=0)]
+        books.append(book)
+    return books
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, n_codes: int = 16,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 train_cap: int = 4096) -> list:
+    """PQ codebooks trained on the same bounded deterministic sample
+    rule as ``ivf_centroids`` (TakeOrdered by (xxhash64(id), id) —
+    at 10^12 rows the trainer sees the sample, never the corpus)."""
+    rows = (emb.withColumn("_h", F.xxhash64(id_col))
+            .orderBy("_h", id_col).limit(train_cap)
+            .select(id_col, vec_col).collect())
+    return train_pq([(r[0], list(r[1])) for r in rows], m, n_codes)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _nearest_code(sub: Column, book: list) -> Column:
+    """argmin L2^2 over a literal sub-codebook via one fold with a
+    struct(best_idx, best_d2) accumulator (same shape as
+    ``_nearest_centroid``; strict < update = first min wins)."""
+    mat = _lit_matrix(book)
+    init = F.struct(F.lit(0).cast("int").alias("i"),
+                    F.lit(1e30).alias("d"))
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(book))),
+        init,
+        lambda acc, j: F.when(
+            _l2sq(sub, F.element_at(mat, j)) < acc["d"],
+            F.struct((j - 1).cast("int").alias("i"),
+                     _l2sq(sub, F.element_at(mat, j)).alias("d"))
+        ).otherwise(acc))
+    return folded["i"]
+
+
+def pq_encode_arrow(codebooks: list):
+    """Arrow-batched PQ encoding: per batch, one numpy distance matrix
+    per subspace (argmin keeps the FIRST min, matching the Column
+    fold's strict < update)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bmats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    d_sub = bmats[0].shape[1]
+
+    def _enc(v):
+        mat = np.stack(v.to_numpy())
+        out = np.empty((len(mat), len(bmats)), dtype="int32")
+        for s, bm in enumerate(bmats):
+            sub = mat[:, s * d_sub:(s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - bm[None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    _enc.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "array<int>")
+
+
+def pq_encode(emb: DataFrame, codebooks: list, id_col: str = "vec_id",
+              vec_col: str = "embedding", impl: str = "auto") -> DataFrame:
+    """ONE corpus pass: (vec_id, codes array<int> of length m) — the
+    compressed representation ADC search scans. This is the 100 TB
+    memory story: 64-dim float32 vectors are 256 B/row; m=8 byte codes
+    are 8 B/row — the scan that serves approximate top-k shrinks 32x
+    and never touches the raw vector column again. impl dispatch =
+    ``use_arrow_impl(m * n_codes, dim/m)`` (total FMAs/row), same
+    bridge-amortization rule as IVF assignment."""
+    m, n_codes = len(codebooks), len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    impl = _resolve_impl(impl, m * n_codes, d_sub)
+    if impl == "arrow":
+        codes = pq_encode_arrow(codebooks)(F.col(vec_col))
+    else:
+        codes = F.array(*[
+            _nearest_code(F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
+                          codebooks[s])
+            for s in range(m)])
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      codes.alias("codes"))
+
+
+def pq_luts(qvec: list, codebooks: list) -> list:
+    """ADC lookup tables for one query: luts[s][c] = L2^2 between the
+    query's s-th subvector and code c (driver-side numpy float64).
+    Shared VERBATIM by engine (``pq_topk``) and golden oracle so the
+    literal LUT floats are identical in both plans."""
+    import numpy as np
+
+    d_sub = len(codebooks[0][0])
+    q = np.asarray(qvec, dtype=np.float64)
+    out = []
+    for s, book in enumerate(codebooks):
+        sub = q[s * d_sub:(s + 1) * d_sub]
+        bm = np.asarray(book, dtype=np.float64)
+        out.append([float(x) for x in ((bm - sub) ** 2).sum(axis=1)])
+    return out
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, codebooks: list,
+            k: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding", impl: str = "auto") -> DataFrame:
+    """PQ/ADC search → (query_id, vec_id, rank, adist): encode the
+    corpus once (``pq_encode``), then score every (query, code-row)
+    pair as a sum of m LUT lookups — a pure-JVM fold over literal
+    arrays, no per-row distance math at all (asymmetric distance
+    computation). Queries are collected driver-side (bounded, as in
+    ``ivf_topk``) and ship as a broadcast LocalRelation of literal
+    LUTs. Ranking is by ROUNDED adist asc then vec_id — deterministic
+    and oracle-comparable. At 10^12 rows this is the scan-the-codes
+    path (8 B/row); compose with ``ivf_centroids``/cell assignment to
+    probe a subset first (IVF-PQ) when even the code scan is too hot."""
+    m = len(codebooks)
+    enc = pq_encode(emb, codebooks, id_col, vec_col, impl)
+    qrows = queries.collect()
+    spark = emb.sparkSession
+    if not qrows:
+        return (enc.select(F.lit(0).cast("long").alias("query_id"),
+                           F.col("vec_id"),
+                           F.lit(0).alias("rank"),
+                           F.lit(0.0).alias("adist"))
+                .limit(0))
+    lut_df = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(int(q["query_id"])).cast("long").alias("query_id"),
+                 _lit_matrix(pq_luts(list(q["qvec"]), codebooks))
+                 .alias("_lut"))
+        for q in qrows])))
+    crossed = enc.crossJoin(F.broadcast(lut_df))
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.element_at("_lut", s), F.element_at("codes", s) + 1))
+    scored = (crossed.filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(adist, 6).alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "adist"))

@@ -1,7 +1,7 @@
 """Independently-derived golden oracles for the hash-dependent driver
 queries that plain DuckDB SQL cannot express (no xxhash64):
 minhash_near_dups, dedup_clusters, simhash_candidates, ann_lsh,
-ann_ivf, emb_near_dups, media_features.
+ann_ivf, ann_pq, emb_near_dups, semantic_dedup, media_features.
 
 Each oracle recomputes the expected result in pure Python/numpy from the
 OPERATOR DEFINITIONS (MinHash banding, SimHash majority vote, sign-LSH,
@@ -357,6 +357,65 @@ def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
         for _, i in sorted(sims, reverse=True)[:nprobe]:
             cand[q].update(cells.get(i, ()))
     return _topk_rows(cand, vecs, k)
+
+
+def ann_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, m=8, n_codes=16):
+    """Golden for ops.similarity.pq_topk: codebook training and the
+    ADC lookup tables are the ENGINE'S OWN driver-side functions
+    (train_pq / pq_luts — shared verbatim, same rationale as
+    ann_ivf_rows); corpus encoding mirrors whichever kernel the
+    engine's impl="auto" resolves (use_arrow_impl(m*n_codes, dim/m)):
+    Arrow = numpy argmin over a batched distance matrix, Column = the
+    sequential L2^2 fold with strict < (first min wins). ADC score =
+    sequential sum of the m LUT entries, rounded; rank by (adist asc,
+    vec_id asc), self excluded."""
+    from jsi_spark.ops.similarity import pq_luts, train_pq, use_arrow_impl
+
+    books = train_pq([(i, list(v)) for i, v in emb], m, n_codes)
+    d_sub = len(books[0][0])
+    arrow = use_arrow_impl(m * n_codes, d_sub)
+    if arrow:
+        mat = np.asarray([v for _, v in emb], dtype=np.float64)
+        codes_all = []
+        for s in range(m):
+            sub = mat[:, s * d_sub:(s + 1) * d_sub]
+            bm = np.asarray(books[s], dtype=np.float64)
+            d2 = ((sub[:, None, :] - bm[None, :, :]) ** 2).sum(axis=2)
+            codes_all.append(np.argmin(d2, axis=1))
+        codes = {vid: [int(codes_all[s][i]) for s in range(m)]
+                 for i, (vid, _) in enumerate(emb)}
+    else:
+        codes = {}
+        for vid, v in emb:
+            row = []
+            for s in range(m):
+                sub = v[s * d_sub:(s + 1) * d_sub]
+                best_i, best_d = 0, 1e30
+                for j, c in enumerate(books[s]):
+                    d2 = 0.0
+                    for x, y in zip(sub, c):
+                        d2 += (x - y) * (x - y)
+                    if d2 < best_d:
+                        best_i, best_d = j, d2
+                row.append(best_i)
+            codes[vid] = row
+
+    vecs = dict(emb)
+    rows = []
+    for q in query_ids:
+        luts = pq_luts(list(vecs[q]), books)
+        scored = []
+        for vid, cs in codes.items():
+            if vid == q:
+                continue
+            d = 0.0
+            for s in range(m):
+                d += luts[s][cs[s]]
+            scored.append((_round6(d), vid))
+        scored.sort()
+        for rank, (d, vid) in enumerate(scored[:k], start=1):
+            rows.append((q, vid, rank, d))
+    return rows
 
 
 def semantic_dedup_rows(emb, threshold=0.35, n_centroids=8,
@@ -737,6 +796,9 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             semantic_dedup_rows(emb),
             ["vec_id", "cell", "dup_of", "sim"],
             ["BIGINT", "INTEGER", "BIGINT", "DOUBLE"]),
+        "ann_pq": values_sql(
+            ann_pq_rows(emb), ["query_id", "vec_id", "rank", "adist"],
+            ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
         "media_features": values_sql(
             media_feature_rows(), ["media_ref", "media_kind", "n_frames",
                                    "dim"],

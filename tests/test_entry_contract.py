@@ -19,7 +19,7 @@ PARITY = ["docs_valid", "docs_violations", "docs_verdicts",
           "token_counts", "lang_id", "quality_scores", "fingerprints",
           "dedup_exact", "ann_bruteforce", "events_json_violations",
           "lineitem_draft04_valid", "docs_contains", "span_equality",
-          "docs_with_defaults"]
+          "docs_with_defaults", "stream_psi_drift"]
 
 
 @pytest.fixture(scope="module")
@@ -77,7 +77,7 @@ def test_every_query_has_callable_shape(spark):
 # as a VALUES table (jsi_spark/oracles.py), regenerated HERE at sf0.001
 # (oracle_sql() itself bakes the driver's sf0.01)
 GOLDEN = ["minhash_near_dups", "simhash_candidates", "ann_lsh",
-          "ann_ivf", "media_features"]
+          "ann_ivf", "media_features", "semantic_dedup", "ann_pq"]
 
 
 @pytest.mark.parametrize("name", GOLDEN)

@@ -782,3 +782,51 @@ def test_semantic_dedup_matches_golden(spark):
     got2 = sorted(tuple(r) for r in
                   semantic_dedup(emb_df, cents, threshold=0.35).collect())
     assert got2 == got
+
+
+def test_pq_topk_planted_twin(spark):
+    """A near-identical planted twin encodes to the SAME m codes, so
+    its ADC distance equals the query's own self-distance floor — it
+    must be rank 1. Empty query set returns a typed empty frame."""
+    import random
+
+    from jsi_spark.ops.similarity import pq_topk, train_pq
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100, [x * 1.0001 for x in base[0]])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq(rows, m=4, n_codes=8)
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    out = pq_topk(emb, q, books, k=3).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.vec_id == 100
+    empty = pq_topk(emb, q.limit(0), books, k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "vec_id", "rank", "adist"]
+
+
+def test_ann_pq_matches_golden(spark):
+    """Driver query ≡ pure-numpy golden (bit-exact ADC distances), and
+    invariant under input partitioning."""
+    import __spark_entry__ as entrymod
+    from jsi_spark.oracles import _read as oracle_read
+    from jsi_spark.oracles import ann_pq_rows
+
+    got = sorted(tuple(r) for r in
+                 entrymod.q_ann_pq(spark, SF_DIR).collect())
+    emb = [(vid, [float(x) for x in v])
+           for vid, v in oracle_read(SF_DIR, "embeddings",
+                                     ["vec_id", "embedding"])]
+    assert got == sorted(ann_pq_rows(emb))
+    assert len(got) == 25  # 5 queries x k=5
+
+    from jsi_spark.ops.similarity import make_queries, pq_codebooks, pq_topk
+    emb_df = entrymod._emb_double(spark, SF_DIR).repartition(13)
+    books = pq_codebooks(emb_df, m=8, n_codes=16)
+    got2 = sorted(tuple(r) for r in pq_topk(
+        emb_df, make_queries(emb_df, entrymod.ANN_QUERY_IDS),
+        books, k=5).collect())
+    assert got2 == got

@@ -2,7 +2,7 @@
 and sf1-equivalent corpora, confirming bucket caps and df-filters keep
 candidate-pair counts OUTPUT-sensitive (not O(n²)) as the corpus grows.
 
-Runs the five dedup/similarity driver queries (the exact functions in
+Runs the six dedup/similarity driver queries (the exact functions in
 __spark_entry__.queries()) over deterministic synthetic corpora
 (jsi_spark.datagen.gen_text_corpus / gen_vec_corpus — documents/
 embeddings schema with controlled duplicate structure, incl. a hot
@@ -10,9 +10,11 @@ template cluster and an identical-vector cluster that the
 max_bucket_size caps MUST drop), at n and 10n rows, and publishes:
 
 - wall seconds + output rows per query at both scales (+ ratios);
-- the bucket-size histogram (log2 bins) for the three LSH-style
-  blockers — MinHash band buckets, SimHash chunk buckets, sign-LSH
-  embedding buckets — with implied pre-cap vs post-cap pair counts.
+- the bucket-size histogram (log2 bins) for the four blockers —
+  MinHash band buckets, SimHash chunk buckets, sign-LSH embedding
+  buckets, and SemDeDup k-means cells (n_centroids scaled with the
+  corpus, the production rule) — with implied pre-cap vs post-cap
+  pair counts.
 
 A query is scale-clean when time and rows grow ~linearly (ratio ≲ 10x
 for a 10x corpus; pair outputs may grow slightly faster since near-dup
@@ -43,7 +45,8 @@ from jsi_spark.ops.dedup import (  # noqa: E402
     minhash_band_buckets, release_caches, simhash_chunk_buckets,
 )
 from jsi_spark.ops.similarity import (  # noqa: E402
-    lsh_bucket_assignments, lsh_tables, near_dup_planes,
+    ivf_centroids, lsh_bucket_assignments, lsh_tables, near_dup_planes,
+    semantic_cell_assignments,
 )
 from jsi_spark.session import get_spark  # noqa: E402
 
@@ -51,12 +54,13 @@ BASE_DOCS = 5_000      # sf0.1-equivalent documents rows
 BASE_VECS = 2_000      # sf0.1-equivalent embeddings rows
 
 QUERIES = ["ngram_jaccard", "minhash_near_dups", "dedup_clusters",
-           "simhash_candidates", "emb_near_dups"]
+           "simhash_candidates", "emb_near_dups", "semantic_dedup"]
 
 # caps as used by the driver queries (__spark_entry__.py)
 MINHASH_CAP = 200
 SIMHASH_CAP = 200
 EMB_CAP = 400
+SEM_CELL_CAP = 1000    # degenerate-cell guard (semantic_dedup max_cell_size)
 
 
 def gen_dir(spark, workdir: str, scale: int) -> str:
@@ -158,6 +162,15 @@ def main():
         eb = lsh_bucket_assignments(emb, tables)
         res["census"]["emb_lsh"] = size_census(eb, ["_tbl", "_bucket"],
                                                EMB_CAP)
+        release_caches()
+        # SemDeDup cells: the 100 TB rule is n_centroids ~ corpus/target
+        # cell size (paper uses ~corpus/1e4; here corpus/250 so the
+        # census is meaningful at stress scale) — cells stay bounded as
+        # the corpus grows because the quantizer grows with it
+        cents = ivf_centroids(emb, n_centroids=max(8, n_vecs // 250))
+        sc = semantic_cell_assignments(emb, cents)
+        res["census"]["sem_cells"] = size_census(sc, ["cell"],
+                                                 SEM_CELL_CAP)
         release_caches()
         for fam, cen in res["census"].items():
             print(json.dumps({"scale": scale, "census": fam, **cen}),
