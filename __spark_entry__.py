@@ -43,7 +43,7 @@ from jsi_spark.ops.multimodal import (
 from jsi_spark.ops.similarity import (
     brute_force_topk, embedding_near_duplicates, ivf_centroids,
     ivf_topk, lsh_tables, lsh_topk, make_queries, near_dup_planes,
-    pq_codebooks, pq_topk, semantic_dedup,
+    ivf_pq_topk, pq_codebooks, pq_topk, semantic_dedup,
 )
 from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
 from jsi_spark.ops.text import repetition_features, text_profile
@@ -645,6 +645,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, make_queries(emb, ANN_QUERY_IDS), books, k=5)
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jegou et al. TPAMI 2011 SV): one pass builds the
+    (cell, codes) index — coarse IVF cell + m=8 PQ codes in a single
+    Project — then each query ADC-scans only nprobe=3 of 8 cells over
+    broadcast literal LUTs. The production 10^12-vector search layout:
+    ~8 B/vector index, raw vectors never read at search time, scan
+    fraction nprobe/n_centroids of a 32x-compressed table. Golden
+    oracle (jsi_spark.oracles.ann_ivf_pq_rows) shares train_quantizer,
+    train_pq and pq_luts verbatim and mirrors both kernel dispatches."""
+    emb = _persist_op(_emb_double(spark, sf_dir))
+    cents = ivf_centroids(emb, n_centroids=8)
+    books = pq_codebooks(emb, m=8, n_codes=16)
+    return ivf_pq_topk(emb, make_queries(emb, ANN_QUERY_IDS), cents,
+                       books, k=5, nprobe=3)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means cells (quantizer trained on
     the same bounded TakeOrdered sample as ann_ivf — at 10^12 rows it
@@ -1139,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "semantic_dedup": q_semantic_dedup,
         "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "media_features": q_media_features,
         "media_png_real": q_media_png_real,
         "media_jpeg_real": q_media_jpeg_real,

@@ -731,3 +731,74 @@ def pq_topk(emb: DataFrame, queries: DataFrame, codebooks: list,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "adist"))
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame, centroids: list,
+                codebooks: list, k: int = 10, nprobe: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                impl: str = "auto") -> DataFrame:
+    """IVF-PQ (Jegou et al. TPAMI 2011 §V): ONE corpus pass builds the
+    index — coarse cell (IVF assignment, same kernel dispatch as
+    ``ivf_topk``) AND m PQ codes per vector in a single Project — then
+    each query ADC-scans only its ``nprobe`` probed cells. This is the
+    production 10^12-vector layout: the index is (cell, codes) at
+    ~8 B/vector, the raw vector column is never read at search time,
+    and the scan fraction is nprobe/n_centroids of an already-32x-
+    compressed table. Probe cells and per-query LUTs ship as broadcast
+    literal LocalRelations (no driver-side corpus actions). Ranking by
+    ROUNDED adist asc then vec_id, self excluded — oracle-comparable.
+    """
+    m = len(codebooks)
+    cell_impl = _resolve_impl(impl, len(centroids), len(centroids[0]))
+    enc_impl = _resolve_impl(impl, m * len(codebooks[0]),
+                             len(codebooks[0][0]))
+    d_sub = len(codebooks[0][0])
+    if enc_impl == "arrow":
+        codes = pq_encode_arrow(codebooks)(F.col(vec_col))
+    else:
+        codes = F.array(*[
+            _nearest_code(F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
+                          codebooks[s])
+            for s in range(m)])
+    index = emb.select(F.col(id_col).alias("vec_id"),
+                       _assign(vec_col, centroids, cell_impl).alias("_c"),
+                       codes.alias("codes"))
+    qrows = queries.collect()
+    spark = emb.sparkSession
+    if not qrows:
+        return (index.select(F.lit(0).cast("long").alias("query_id"),
+                             F.col("vec_id"), F.lit(0).alias("rank"),
+                             F.lit(0.0).alias("adist")).limit(0))
+    probe, luts = [], []
+    for q in qrows:
+        qv = list(q["qvec"])
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        sims = []
+        for i, c in enumerate(centroids):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            sims.append((sum(a * b for a, b in zip(qv, c)) / (qn * cn), i))
+        for _, i in sorted(sims, reverse=True)[:nprobe]:
+            probe.append((q["query_id"], i))
+        luts.append((q["query_id"], pq_luts(qv, codebooks)))
+    probe_df = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(int(qid)).cast("long").alias("query_id"),
+                 F.lit(int(c)).cast("int").alias("_c"))
+        for qid, c in probe])))
+    lut_df = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(int(qid)).cast("long").alias("query_id"),
+                 _lit_matrix(lut).alias("_lut"))
+        for qid, lut in luts])))
+    cand = (index.join(F.broadcast(probe_df), "_c")
+            .join(F.broadcast(lut_df), "query_id"))
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.element_at("_lut", s), F.element_at("codes", s) + 1))
+    scored = (cand.filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(adist, 6).alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "adist"))

@@ -418,6 +418,96 @@ def ann_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, m=8, n_codes=16):
     return rows
 
 
+def ann_ivf_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
+                    nprobe=3, m=8, n_codes=16):
+    """Golden for ops.similarity.ivf_pq_topk: coarse cells exactly as
+    ann_ivf_rows (train_quantizer shared verbatim + kernel-dispatch
+    assignment mirror), PQ codes and LUTs exactly as ann_pq_rows
+    (train_pq / pq_luts shared verbatim + encode mirror); candidates =
+    vectors in each query's nprobe best cells (driver-side cosine over
+    centroid list, same float order as the engine), ADC-scored and
+    ranked by (adist asc, vec_id asc), self excluded."""
+    from jsi_spark.ops.similarity import (
+        pq_luts, train_pq, train_quantizer, use_arrow_impl,
+    )
+
+    vecs = dict(emb)
+    refined = train_quantizer([(i, list(v)) for i, v in emb], n_centroids)
+    dim = len(refined[0])
+    if use_arrow_impl(n_centroids, dim):
+        mat = np.asarray([v for _, v in emb], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        assigned = list(np.argmax(
+            (mat @ np.asarray(refined, dtype=np.float64).T) / norms,
+            axis=1))
+    else:
+        assigned = []
+        for _, v in emb:
+            nv = _norm(v)
+            best_i, best_s = 0, -1e30
+            for j, c in enumerate(refined):
+                s = _dot(v, c) / nv
+                if s > best_s:
+                    best_i, best_s = j, s
+            assigned.append(best_i)
+    cells = defaultdict(list)
+    for (vec_id, _), c in zip(emb, assigned):
+        cells[int(c)].append(vec_id)
+
+    books = train_pq([(i, list(v)) for i, v in emb], m, n_codes)
+    d_sub = len(books[0][0])
+    if use_arrow_impl(m * n_codes, d_sub):
+        mat = np.asarray([v for _, v in emb], dtype=np.float64)
+        codes_cols = []
+        for s in range(m):
+            sub = mat[:, s * d_sub:(s + 1) * d_sub]
+            bm = np.asarray(books[s], dtype=np.float64)
+            d2 = ((sub[:, None, :] - bm[None, :, :]) ** 2).sum(axis=2)
+            codes_cols.append(np.argmin(d2, axis=1))
+        codes = {vid: [int(codes_cols[s][i]) for s in range(m)]
+                 for i, (vid, _) in enumerate(emb)}
+    else:
+        codes = {}
+        for vid, v in emb:
+            row = []
+            for s in range(m):
+                sub = v[s * d_sub:(s + 1) * d_sub]
+                best_i, best_d = 0, 1e30
+                for j, c in enumerate(books[s]):
+                    d2 = 0.0
+                    for x, y in zip(sub, c):
+                        d2 += (x - y) * (x - y)
+                    if d2 < best_d:
+                        best_i, best_d = j, d2
+                row.append(best_i)
+            codes[vid] = row
+
+    rows = []
+    for q in query_ids:
+        qv = list(vecs[q])
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+        sims = []
+        for i, c in enumerate(refined):
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            sims.append((sum(a * b for a, b in zip(qv, c)) / (qn * cn), i))
+        cand = set()
+        for _, i in sorted(sims, reverse=True)[:nprobe]:
+            cand.update(cells.get(i, ()))
+        luts = pq_luts(qv, books)
+        scored = []
+        for vid in cand:
+            if vid == q:
+                continue
+            d = 0.0
+            for s in range(m):
+                d += luts[s][codes[vid][s]]
+            scored.append((_round6(d), vid))
+        scored.sort()
+        for rank, (d, vid) in enumerate(scored[:k], start=1):
+            rows.append((q, vid, rank, d))
+    return rows
+
+
 def semantic_dedup_rows(emb, threshold=0.35, n_centroids=8,
                         max_cell_size=None):
     """Golden for ops.similarity.semantic_dedup: quantizer training is
@@ -798,6 +888,10 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             ["BIGINT", "INTEGER", "BIGINT", "DOUBLE"]),
         "ann_pq": values_sql(
             ann_pq_rows(emb), ["query_id", "vec_id", "rank", "adist"],
+            ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
+        "ann_ivf_pq": values_sql(
+            ann_ivf_pq_rows(emb),
+            ["query_id", "vec_id", "rank", "adist"],
             ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
         "media_features": values_sql(
             media_feature_rows(), ["media_ref", "media_kind", "n_frames",

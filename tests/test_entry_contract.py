@@ -77,7 +77,8 @@ def test_every_query_has_callable_shape(spark):
 # as a VALUES table (jsi_spark/oracles.py), regenerated HERE at sf0.001
 # (oracle_sql() itself bakes the driver's sf0.01)
 GOLDEN = ["minhash_near_dups", "simhash_candidates", "ann_lsh",
-          "ann_ivf", "media_features", "semantic_dedup", "ann_pq"]
+          "ann_ivf", "media_features", "semantic_dedup", "ann_pq",
+          "ann_ivf_pq"]
 
 
 @pytest.mark.parametrize("name", GOLDEN)

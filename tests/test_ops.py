@@ -830,3 +830,39 @@ def test_ann_pq_matches_golden(spark):
         emb_df, make_queries(emb_df, entrymod.ANN_QUERY_IDS),
         books, k=5).collect())
     assert got2 == got
+
+
+def test_ann_ivf_pq_matches_golden(spark):
+    """Driver query ≡ pure-numpy golden; a planted twin shares cell
+    AND codes, so it is rank 1 with the ADC floor distance."""
+    import random
+
+    import __spark_entry__ as entrymod
+    from jsi_spark.oracles import _read as oracle_read
+    from jsi_spark.oracles import ann_ivf_pq_rows
+
+    got = sorted(tuple(r) for r in
+                 entrymod.q_ann_ivf_pq(spark, SF_DIR).collect())
+    emb = [(vid, [float(x) for x in v])
+           for vid, v in oracle_read(SF_DIR, "embeddings",
+                                     ["vec_id", "embedding"])]
+    assert got == sorted(ann_ivf_pq_rows(emb))
+    assert len(got) == 25
+
+    from jsi_spark.ops.similarity import (
+        ivf_pq_topk, train_pq, train_quantizer,
+    )
+    rng = random.Random(23)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100, [x * 1.0001 for x in base[0]])]
+    emb_df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    cents = train_quantizer(rows, 4)
+    books = train_pq(rows, m=4, n_codes=8)
+    q = emb_df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    out = ivf_pq_topk(emb_df, q, cents, books, k=3, nprobe=2).collect()
+    assert [r for r in out if r.rank == 1][0].vec_id == 100
+    assert ivf_pq_topk(emb_df, q.limit(0), cents, books, k=3).count() == 0
