@@ -63,8 +63,10 @@ def test_real_decode_dispatches_on_magic():
     s = synth_samples("d", 50)
     feats = _real_decode_features(encode_wav(s, 16000))
     assert feats == pytest.approx(audio_stats(s, 16000))
+    # MP4 payloads now dispatch to their own codec; use a payload
+    # matching no known magic for the named plug point
     with pytest.raises(NotImplementedError, match="WAV"):
-        _real_decode_features(b"\x00\x00\x00\x20ftypmp42 video-ish")
+        _real_decode_features(b"\x00\x01free-form bytes, no magic")
 
 
 def test_extract_features_real_audio_distributed(spark):
