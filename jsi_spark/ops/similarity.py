@@ -307,12 +307,25 @@ def embedding_near_duplicates(emb: DataFrame, planes: list,
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"))
             .distinct())
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if impl == "arrow":
+        va = emb.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+        vb = emb.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"))
         sim = cosine_pairs_arrow()(F.col("_va"), F.col("_vb"))
     else:
-        sim = cosine(F.col("_va"), F.col("_vb"))
+        # hoist the norms into the per-vector (broadcast build side)
+        # projections: dot/(na*nb) is bit-identical to cosine() but
+        # each norm fold runs once per VECTOR, not once per PAIR — the
+        # per-pair work drops from 3 HOF folds to 1
+        va = emb.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"),
+                        norm(F.col(vec_col)).alias("_na"))
+        vb = emb.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"),
+                        norm(F.col(vec_col)).alias("_nb"))
+        sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na")
+                                                 * F.col("_nb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
             .filter(F.col("sim") >= threshold))
@@ -535,12 +548,24 @@ def semantic_dedup(emb: DataFrame, centroids: list,
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
                     F.col("a.cell").alias("cell")))
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if impl == "arrow":
+        va = emb.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"))
+        vb = emb.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"))
         sim = cosine_pairs_arrow()(F.col("_va"), F.col("_vb"))
     else:
-        sim = cosine(F.col("_va"), F.col("_vb"))
+        # norms hoisted to the per-vector projections (bit-identical
+        # to cosine(); 1 HOF fold per pair instead of 3 — see the same
+        # hoist in embedding_near_duplicates)
+        va = emb.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"),
+                        norm(F.col(vec_col)).alias("_na"))
+        vb = emb.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"),
+                        norm(F.col(vec_col)).alias("_nb"))
+        sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na")
+                                                 * F.col("_nb"))
     pairs = (cand.join(va, "id_a").join(vb, "id_b")
              .select("id_b", "cell", "id_a", F.round(sim, 6).alias("sim"))
              .filter(F.col("sim") >= threshold))
