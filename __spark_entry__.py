@@ -654,9 +654,13 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction nprobe/n_centroids of a 32x-compressed table. Golden
     oracle (jsi_spark.oracles.ann_ivf_pq_rows) shares train_quantizer,
     train_pq and pq_luts verbatim and mirrors both kernel dispatches."""
+    from jsi_spark.ops.similarity import train_pq, train_quantizer, train_sample
     emb = _persist_op(_emb_double(spark, sf_dir))
-    cents = ivf_centroids(emb, n_centroids=8)
-    books = pq_codebooks(emb, m=8, n_codes=16)
+    # ONE TakeOrdered sample job feeds both trainings (the combined
+    # index build collects the bounded sample once)
+    sample = train_sample(emb)
+    cents = train_quantizer(sample, 8)
+    books = train_pq(sample, 8, 16)
     return ivf_pq_topk(emb, make_queries(emb, ANN_QUERY_IDS), cents,
                        books, k=5, nprobe=3)
 

@@ -391,11 +391,22 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
     full-corpus scan. When the corpus is smaller than ``train_cap``
     (all test/bench scales) the sample IS the corpus, so results are
     independent of the cap."""
+    return train_quantizer(train_sample(emb, id_col, vec_col, train_cap),
+                           n_centroids)
+
+
+def train_sample(emb: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 train_cap: int = 4096) -> list:
+    """The bounded deterministic training sample as (id, vector) rows:
+    the ``train_cap`` corpus rows with the smallest (xxhash64(id), id),
+    ONE TakeOrdered pass. Collect it once and feed BOTH
+    ``train_quantizer`` and ``train_pq`` when building a combined
+    IVF-PQ index — two trainings, one corpus job."""
     rows = (emb.withColumn("_h", F.xxhash64(id_col))
             .orderBy("_h", id_col).limit(train_cap)
             .select(id_col, vec_col).collect())
-    return train_quantizer([(r[0], list(r[1])) for r in rows],
-                           n_centroids)
+    return [(r[0], list(r[1])) for r in rows]
 
 
 def nearest_centroid_arrow(centroids: list):
@@ -622,10 +633,8 @@ def pq_codebooks(emb: DataFrame, m: int = 8, n_codes: int = 16,
     """PQ codebooks trained on the same bounded deterministic sample
     rule as ``ivf_centroids`` (TakeOrdered by (xxhash64(id), id) —
     at 10^12 rows the trainer sees the sample, never the corpus)."""
-    rows = (emb.withColumn("_h", F.xxhash64(id_col))
-            .orderBy("_h", id_col).limit(train_cap)
-            .select(id_col, vec_col).collect())
-    return train_pq([(r[0], list(r[1])) for r in rows], m, n_codes)
+    return train_pq(train_sample(emb, id_col, vec_col, train_cap),
+                    m, n_codes)
 
 
 def _l2sq(a: Column, b: Column) -> Column:
