@@ -674,10 +674,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses 0.4: the synthetic embeddings are near-orthogonal (max
     pairwise cosine ~0.5), so a production 0.95 returns nothing. The
     golden oracle (jsi_spark.oracles.semantic_dedup_rows) shares the
-    quantizer trainer verbatim and mirrors the kernel dispatch."""
+    quantizer trainer verbatim and mirrors the kernel dispatch.
+
+    n_centroids applies the corpus-scaled rule (semantic_n_centroids,
+    row count from parquet footer metadata — zero jobs): with k frozen,
+    cells grow with the corpus and the self-join goes quadratic
+    (scale_stress measured 21x time at 10x corpus); under the rule the
+    pair space stays linear. max_cell_size=1000 is the degenerate-cell
+    guard, mirrored by the oracle."""
+    from jsi_spark.ops.similarity import semantic_n_centroids
     emb = _persist_op(_emb_double(spark, sf_dir))
-    cents = ivf_centroids(emb, n_centroids=8)
-    return semantic_dedup(emb, cents, threshold=0.35)
+    n_vecs = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=semantic_n_centroids(n_vecs))
+    return semantic_dedup(emb, cents, threshold=0.35,
+                          max_cell_size=1000)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

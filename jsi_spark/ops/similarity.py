@@ -502,6 +502,17 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: list,
 
 # -- SemDeDup -----------------------------------------------------------------------
 
+def semantic_n_centroids(n_vecs: int, target_cell: int = 250) -> int:
+    """Corpus-scaled k for semantic_dedup (SemDeDup trains ~corpus/N
+    clusters): expected cell size stays ~``target_cell`` as the corpus
+    grows, keeping the within-cell pair space LINEAR in the corpus —
+    with a fixed k, cells grow with the corpus and the self-join goes
+    quadratic (tools/scale_stress.py measured 21x time at 10x corpus
+    with k frozen at 8, vs flat pairs/vector under this rule). Same
+    role as ``near_dup_planes`` for the sign-LSH blocker."""
+    return max(8, n_vecs // target_cell)
+
+
 def semantic_cell_assignments(emb: DataFrame, centroids: list,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",

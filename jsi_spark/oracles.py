@@ -508,17 +508,24 @@ def ann_ivf_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
     return rows
 
 
-def semantic_dedup_rows(emb, threshold=0.35, n_centroids=8,
-                        max_cell_size=None):
+def semantic_dedup_rows(emb, threshold=0.35, n_centroids=None,
+                        max_cell_size=1000):
     """Golden for ops.similarity.semantic_dedup: quantizer training is
     the engine's own driver-side ``train_quantizer`` (shared verbatim,
     same rationale as ann_ivf_rows); cell assignment and pair cosine
     mirror whichever kernel the engine's impl="auto" resolves
     (``use_arrow_impl`` over the centroid matrix). Drop rule: a vector
     is dropped iff some lower-id vector in its cell has rounded cosine
-    >= threshold; dup_of = the SMALLEST such partner."""
-    from jsi_spark.ops.similarity import train_quantizer, use_arrow_impl
+    >= threshold; dup_of = the SMALLEST such partner. Defaults mirror
+    the driver query: n_centroids=None applies the corpus-scaled rule
+    (semantic_n_centroids) and max_cell_size=1000 the degenerate-cell
+    guard."""
+    from jsi_spark.ops.similarity import (
+        semantic_n_centroids, train_quantizer, use_arrow_impl,
+    )
 
+    if n_centroids is None:
+        n_centroids = semantic_n_centroids(len(emb))
     refined = train_quantizer([(i, list(v)) for i, v in emb], n_centroids)
     dim = len(refined[0])
     arrow = use_arrow_impl(n_centroids, dim)

@@ -46,7 +46,7 @@ from jsi_spark.ops.dedup import (  # noqa: E402
 )
 from jsi_spark.ops.similarity import (  # noqa: E402
     ivf_centroids, lsh_bucket_assignments, lsh_tables, near_dup_planes,
-    semantic_cell_assignments,
+    semantic_cell_assignments, semantic_n_centroids,
 )
 from jsi_spark.session import get_spark  # noqa: E402
 
@@ -163,11 +163,11 @@ def main():
         res["census"]["emb_lsh"] = size_census(eb, ["_tbl", "_bucket"],
                                                EMB_CAP)
         release_caches()
-        # SemDeDup cells: the 100 TB rule is n_centroids ~ corpus/target
-        # cell size (paper uses ~corpus/1e4; here corpus/250 so the
-        # census is meaningful at stress scale) — cells stay bounded as
-        # the corpus grows because the quantizer grows with it
-        cents = ivf_centroids(emb, n_centroids=max(8, n_vecs // 250))
+        # SemDeDup cells: the production rule (semantic_n_centroids,
+        # also applied by the driver query itself) — cells stay bounded
+        # as the corpus grows because the quantizer grows with it
+        cents = ivf_centroids(emb,
+                              n_centroids=semantic_n_centroids(n_vecs))
         sc = semantic_cell_assignments(emb, cents)
         res["census"]["sem_cells"] = size_census(sc, ["cell"],
                                                  SEM_CELL_CAP)
