@@ -686,8 +686,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _persist_op(_emb_double(spark, sf_dir))
     n_vecs = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     cents = ivf_centroids(emb, n_centroids=semantic_n_centroids(n_vecs))
+    ensure_py_files(spark)
     return semantic_dedup(emb, cents, threshold=0.35,
-                          max_cell_size=1000)
+                          max_cell_size=1000, strategy="grouped")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -531,11 +531,46 @@ def semantic_cell_assignments(emb: DataFrame, centroids: list,
         _assign(vec_col, centroids, impl).alias("cell")))
 
 
+def _py_round6(x: float) -> float:
+    """Python mirror of Spark ROUND(d, 6): BigDecimal.valueOf →
+    Decimal(repr(x)), HALF_UP (np.round is HALF_EVEN — different)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           ROUND_HALF_UP))
+
+
+def cell_dup_rows(ids_arr, mat, cell: int, threshold: float) -> list:
+    """numpy kernel for ONE cell, shared VERBATIM by the grouped
+    engine path (``semantic_dedup(strategy="grouped")`` runs it per
+    Arrow group) and the golden oracle: rows must be sorted by id;
+    one GEMM scores all pairs, exact HALF_UP rounding is applied only
+    to pairs passing a 1e-6-slack pre-filter (rounding 250k floats in
+    Python would dominate; the slack can only ADD candidates, and the
+    exact rounded comparison then decides). Returns
+    (vec_id, cell, dup_of, sim) drop rows."""
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    pre = threshold - 1e-6
+    rows = []
+    for j in range(1, len(ids_arr)):
+        for i in np.nonzero(sims[:j, j] >= pre)[0]:
+            s6 = _py_round6(float(sims[i, j]))
+            if s6 >= threshold:
+                rows.append((int(ids_arr[j]), cell, int(ids_arr[i]), s6))
+                break
+    return rows
+
+
 def semantic_dedup(emb: DataFrame, centroids: list,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_cell_size: int | None = None,
-                   impl: str = "auto") -> DataFrame:
+                   impl: str = "auto",
+                   strategy: str = "pairs") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
     semantic deduplication via k-means cells + within-cell exact
     cosine. Returns the DROP LIST ``(vec_id, cell, dup_of, sim)``: a
@@ -564,6 +599,36 @@ def semantic_dedup(emb: DataFrame, centroids: list,
         ok = (ids.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
               .filter(F.col("_n") <= max_cell_size).drop("_n"))
         ids = ids.join(ok, "cell")
+    if strategy == "grouped":
+        # production SemDeDup shape: ship each cell's vectors to ONE
+        # Arrow group and score all its pairs with a single numpy GEMM
+        # (cell_dup_rows, shared verbatim with the golden oracle) —
+        # per-pair work collapses from an interpreted fold to BLAS.
+        # The shuffle carries each vector ONCE (cells are disjoint),
+        # bounded per task by max_cell_size; the pre-shuffle cap
+        # filter above keeps degenerate cells from ever shipping.
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def _find(key, pdf):
+            pdf = pdf.sort_values("_id")
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            rows = cell_dup_rows(pdf["_id"].to_numpy(), mat,
+                                 int(key[0]), thr)
+            return pd.DataFrame(rows, columns=["vec_id", "cell",
+                                               "dup_of", "sim"])
+
+        joined = (emb.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).alias("_v"))
+                  .join(ids, "_id"))
+        out = (joined.groupBy("cell")
+               .applyInPandas(_find, "vec_id long, cell int, "
+                                     "dup_of long, sim double"))
+        if id_col != "vec_id":
+            out = out.withColumnRenamed("vec_id", id_col)
+        return out
     a, b = ids.alias("a"), ids.alias("b")
     cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col("a._id") < F.col("b._id")))

@@ -546,18 +546,13 @@ def semantic_dedup_rows(emb, threshold=0.35, n_centroids=None,
                     best_i, best_s = j, s
             assigned.append(best_i)
 
+    # pair scoring: the engine's grouped path runs cell_dup_rows
+    # (one GEMM per cell) per Arrow group — the oracle calls the SAME
+    # function over the same sorted-by-id cell members, so the floats
+    # cannot drift
+    from jsi_spark.ops.similarity import cell_dup_rows
+
     vecs = dict(emb)
-    nv = {k: np.asarray(v, dtype=np.float64) for k, v in vecs.items()}
-
-    def pair_sim(ia, ib):
-        if arrow:
-            a, b = nv[ia], nv[ib]
-            return _round6(float((a * b).sum()
-                                 / (np.sqrt((a * a).sum())
-                                    * np.sqrt((b * b).sum()))))
-        return _round6(_dot(vecs[ia], vecs[ib])
-                       / (_norm(vecs[ia]) * _norm(vecs[ib])))
-
     cells = defaultdict(list)
     for (vec_id, _), c in zip(emb, assigned):
         cells[int(c)].append(vec_id)
@@ -566,12 +561,10 @@ def semantic_dedup_rows(emb, threshold=0.35, n_centroids=None,
         if max_cell_size is not None and len(members) > max_cell_size:
             continue
         members.sort()
-        for y in range(len(members)):
-            for x in range(y):
-                sim = pair_sim(members[x], members[y])
-                if sim >= threshold:
-                    rows.append((members[y], c, members[x], sim))
-                    break
+        mat = np.stack([np.asarray(vecs[i], dtype=np.float64)
+                        for i in members])
+        rows.extend(cell_dup_rows(np.asarray(members), mat, c,
+                                  threshold))
     rows.sort()
     return rows
 

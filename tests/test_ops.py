@@ -866,3 +866,23 @@ def test_ann_ivf_pq_matches_golden(spark):
     out = ivf_pq_topk(emb_df, q, cents, books, k=3, nprobe=2).collect()
     assert [r for r in out if r.rank == 1][0].vec_id == 100
     assert ivf_pq_topk(emb_df, q.limit(0), cents, books, k=3).count() == 0
+
+
+def test_semantic_dedup_strategies_agree(spark):
+    """The pairs (JVM fold) and grouped (per-cell GEMM) strategies
+    implement the same contract; on the test corpus their rounded
+    outputs are identical."""
+    import __spark_entry__ as entrymod
+    from jsi_spark.ops.similarity import (
+        ivf_centroids, semantic_dedup, semantic_n_centroids,
+    )
+    emb = entrymod._emb_double(spark, SF_DIR)
+    k = semantic_n_centroids(500)
+    cents = ivf_centroids(emb, n_centroids=k)
+    a = sorted(tuple(r) for r in semantic_dedup(
+        emb, cents, threshold=0.35, max_cell_size=1000,
+        strategy="pairs").collect())
+    b = sorted(tuple(r) for r in semantic_dedup(
+        emb, cents, threshold=0.35, max_cell_size=1000,
+        strategy="grouped").collect())
+    assert a == b and len(a) > 0
