@@ -106,6 +106,38 @@ def decontaminate_stage(probe: DataFrame, min_hits: int = 1,
     return stage
 
 
+def semantic_dedup_stage(emb: DataFrame, threshold: float = 0.35,
+                         id_col: str = "doc_id",
+                         vec_col: str = "embedding",
+                         n_vecs: int | None = None,
+                         max_cell_size: int = 1000):
+    """Drop semantic near-duplicates (SemDeDup, arXiv:2303.09540):
+    k-means cells over the document embeddings + within-cell cosine
+    drop list, keeping the lowest-id doc of each duplicate relation.
+    ``emb`` is the embedding side-table keyed by ``id_col``; it is
+    semi-joined to the CURRENT corpus first, so drops computed here
+    reflect upstream stages' survivors. ``n_vecs`` feeds the
+    corpus-scaled n_centroids rule — pass it from snapshot metadata
+    (SnapshotTable row counts / parquet footers) in production; the
+    ``None`` fallback counts the side-table (one job over the
+    embedding projection, not the corpus)."""
+    from jsi_spark.ops.similarity import (
+        ivf_centroids, semantic_dedup, semantic_n_centroids,
+    )
+
+    def stage(spark: SparkSession, df: DataFrame) -> DataFrame:
+        cur = emb.join(df.select(id_col), id_col, "left_semi")
+        n = n_vecs if n_vecs is not None else cur.count()
+        cents = ivf_centroids(cur, n_centroids=semantic_n_centroids(n),
+                              id_col=id_col, vec_col=vec_col)
+        drops = semantic_dedup(cur, cents, threshold=threshold,
+                               id_col=id_col, vec_col=vec_col,
+                               max_cell_size=max_cell_size,
+                               strategy="grouped").select(id_col)
+        return df.join(drops, id_col, "left_anti")
+    return stage
+
+
 # -- runner -------------------------------------------------------------------
 
 class OpsPipeline:

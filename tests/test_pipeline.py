@@ -405,3 +405,40 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     assert set(df2.columns) == {"id", "new_col"}
     assert df2.filter("new_col IS NULL").count() == 3
     assert t.num_rows() == 5
+
+
+def test_semantic_dedup_stage_drops_planted_twins(spark, tmp_path):
+    """semantic_dedup_stage in the ops pipeline: planted near-identical
+    embedding twins are dropped (lowest id kept); the stage only sees
+    survivors of upstream stages (semi-join), and drops are reflected
+    in the committed corpus."""
+    import random
+
+    from jsi_spark.ops.pipeline import (
+        OpsPipeline, dedup_exact_stage, semantic_dedup_stage)
+
+    rng = random.Random(31)
+    texts = [(i, f"s{i % 3}", " ".join(
+        rng.choice("alpha beta gamma delta".split())
+        for _ in range(12))) for i in range(40)]
+    docs = spark.createDataFrame(
+        texts, "doc_id long, source string, text string")
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    vecs = [(i, base[i]) for i in range(40)]
+    # twins: doc 20+i duplicates doc i's embedding (cos ~ 1)
+    for i in range(5):
+        vecs[20 + i] = (20 + i, [x * 1.0001 for x in base[i]])
+    emb = spark.createDataFrame(vecs,
+                                "doc_id long, embedding array<double>")
+
+    result = (OpsPipeline(n_buckets=4)
+              .add_stage("dedup", dedup_exact_stage())
+              .add_stage("semdedup",
+                         semantic_dedup_stage(emb, threshold=0.99)))\
+        .run(spark, docs, str(tmp_path / "sem"))
+    from jsi_spark.io.tableio import SnapshotTable
+    root, table = result["stages"]["semdedup"].rsplit("/", 1)
+    ids = {r.doc_id for r in
+           SnapshotTable(root, table).read(spark).collect()}
+    assert not ids & {20 + i for i in range(5)}, "twins dropped"
+    assert {i for i in range(5)} <= ids, "originals kept"
