@@ -637,32 +637,41 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode pass compresses each vector to m=8 int codes (the 100 TB
     memory story — the search scan shrinks ~32x and never re-reads the
     vector column), then asymmetric-distance top-k as a pure-JVM fold
-    over broadcast literal LUTs. Golden oracle
+    over broadcast LUTs. n_codes=64 puts the encode matmul over
+    ARROW_MIN_OPS, so encoding auto-dispatches to the Arrow numpy
+    kernel; the ADC scan stays JVM-side. Golden oracle
     (jsi_spark.oracles.ann_pq_rows) shares train_pq + pq_luts verbatim
     and mirrors the encode kernel dispatch."""
+    ensure_py_files(spark)
     emb = _persist_op(_emb_double(spark, sf_dir))
-    books = pq_codebooks(emb, m=8, n_codes=16)
+    books = pq_codebooks(emb, m=8, n_codes=64)
     return pq_topk(emb, make_queries(emb, ANN_QUERY_IDS), books, k=5)
 
 
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (Jegou et al. TPAMI 2011 SV): one pass builds the
-    (cell, codes) index — coarse IVF cell + m=8 PQ codes in a single
-    Project — then each query ADC-scans only nprobe=3 of 8 cells over
-    broadcast literal LUTs. The production 10^12-vector search layout:
+    """IVFADC (Jegou et al. TPAMI 2011 SV): one Arrow pass builds the
+    (cell, residual codes) index — PQ quantizes vec - centroid[cell],
+    codebooks trained on the sample's residuals (train_pq_residual) —
+    then each query ADC-scans only nprobe=3 of 8 cells with a residual
+    LUT per probed cell. The production 10^12-vector search layout:
     ~8 B/vector index, raw vectors never read at search time, scan
-    fraction nprobe/n_centroids of a 32x-compressed table. Golden
-    oracle (jsi_spark.oracles.ann_ivf_pq_rows) shares train_quantizer,
-    train_pq and pq_luts verbatim and mirrors both kernel dispatches."""
-    from jsi_spark.ops.similarity import train_pq, train_quantizer, train_sample
+    fraction nprobe/n_centroids of a 32x-compressed table; residual
+    coding makes the same code budget rank far more accurately
+    (tools/ann_recall.py). Golden oracle
+    (jsi_spark.oracles.ann_ivf_pq_rows) shares train_quantizer,
+    train_pq_residual, assign_cells_np and pq_luts verbatim."""
+    from jsi_spark.ops.similarity import (
+        train_pq_residual, train_quantizer, train_sample,
+    )
+    ensure_py_files(spark)
     emb = _persist_op(_emb_double(spark, sf_dir))
     # ONE TakeOrdered sample job feeds both trainings (the combined
     # index build collects the bounded sample once)
     sample = train_sample(emb)
     cents = train_quantizer(sample, 8)
-    books = train_pq(sample, 8, 16)
+    books = train_pq_residual(sample, cents, 8, 64)
     return ivf_pq_topk(emb, make_queries(emb, ANN_QUERY_IDS), cents,
-                       books, k=5, nprobe=3)
+                       books, k=5, nprobe=3, residual=True)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -800,6 +800,27 @@ def pq_luts(qvec: list, codebooks: list) -> list:
     return out
 
 
+# above this many LUT doubles, a literal inline() frame costs more in
+# Catalyst plan size (every double is an unrolled Literal node —
+# measured 96 s wall for 50 queries x 16x256 LUTs) than one
+# Python-backed LocalRelation scan; below it, the literal avoids the
+# extra stage entirely (see the ivf_topk probe-frame note)
+LUT_LITERAL_MAX = 8192
+
+
+def _lut_df(spark, rows: list) -> DataFrame:
+    """Broadcast LUT frame (query_id, _lut) — literal inline() when the
+    total double count stays plan-friendly, else createDataFrame."""
+    n_lits = sum(len(lut) * len(lut[0]) for _, lut in rows)
+    if n_lits <= LUT_LITERAL_MAX:
+        return spark.range(1).select(F.inline(F.array(*[
+            F.struct(F.lit(qid).cast("long").alias("query_id"),
+                     _lit_matrix(lut).alias("_lut"))
+            for qid, lut in rows])))
+    return spark.createDataFrame(rows,
+                                 "query_id long, _lut array<array<double>>")
+
+
 def pq_topk(emb: DataFrame, queries: DataFrame, codebooks: list,
             k: int = 10, id_col: str = "vec_id",
             vec_col: str = "embedding", impl: str = "auto") -> DataFrame:
@@ -823,11 +844,9 @@ def pq_topk(emb: DataFrame, queries: DataFrame, codebooks: list,
                            F.lit(0).alias("rank"),
                            F.lit(0.0).alias("adist"))
                 .limit(0))
-    lut_df = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(int(q["query_id"])).cast("long").alias("query_id"),
-                 _lit_matrix(pq_luts(list(q["qvec"]), codebooks))
-                 .alias("_lut"))
-        for q in qrows])))
+    lut_df = _lut_df(spark, [
+        (int(q["query_id"]), pq_luts(list(q["qvec"]), codebooks))
+        for q in qrows])
     crossed = enc.crossJoin(F.broadcast(lut_df))
     adist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
@@ -843,43 +862,119 @@ def pq_topk(emb: DataFrame, queries: DataFrame, codebooks: list,
             .select("query_id", "vec_id", "rank", "adist"))
 
 
+def assign_cells_np(mat, centroids):
+    """numpy coarse-cell assignment — argmax of dot/norm over the
+    centroid matrix, the same float math as nearest_centroid_arrow.
+    Shared VERBATIM by the residual trainer (train_pq_residual), the
+    IVFADC index kernel (ivf_pq_index_arrow) and the golden oracle."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    cmat = np.asarray(centroids, dtype=np.float64)
+    return np.argmax((mat @ cmat.T) / norms, axis=1)
+
+
+def train_pq_residual(sample: list, centroids: list, m: int = 8,
+                      n_codes: int = 64) -> list:
+    """IVFADC codebooks (Jegou et al. TPAMI 2011 §V): PQ is trained on
+    the RESIDUALS (vector minus its coarse centroid) of the bounded
+    sample — residuals have far less energy than raw vectors, so the
+    same code budget quantizes them much more finely. Deterministic;
+    shared verbatim with the golden oracle."""
+    import numpy as np
+
+    mat = np.asarray([v for _, v in sample], dtype=np.float64)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    resid = mat - cmat[assign_cells_np(mat, centroids)]
+    return train_pq([(i, [float(x) for x in r])
+                     for (i, _), r in zip(sample, resid)], m, n_codes)
+
+
+def ivf_pq_index_arrow(centroids: list, codebooks: list):
+    """Arrow-batched IVFADC index kernel: vec → (cell, residual PQ
+    codes) in ONE pass — cell via assign_cells_np, then per-subspace
+    argmin over the residual (argmin keeps the FIRST min). The golden
+    oracle runs the same numpy on the same float64 inputs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bmats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    d_sub = bmats[0].shape[1]
+
+    def _enc(v):
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        cells = assign_cells_np(mat, cmat)
+        resid = mat - cmat[cells]
+        codes = np.empty((len(mat), len(bmats)), dtype="int32")
+        for s, bm in enumerate(bmats):
+            sub = resid[:, s * d_sub:(s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - bm[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cells.astype("int32"),
+                             "codes": list(codes)})
+
+    _enc.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_enc, "cell int, codes array<int>")
+
+
 def ivf_pq_topk(emb: DataFrame, queries: DataFrame, centroids: list,
                 codebooks: list, k: int = 10, nprobe: int = 4,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                impl: str = "auto") -> DataFrame:
-    """IVF-PQ (Jegou et al. TPAMI 2011 §V): ONE corpus pass builds the
-    index — coarse cell (IVF assignment, same kernel dispatch as
-    ``ivf_topk``) AND m PQ codes per vector in a single Project — then
+                impl: str = "auto", residual: bool = True) -> DataFrame:
+    """IVF-PQ / IVFADC (Jegou et al. TPAMI 2011 §V): ONE corpus pass
+    builds the index — coarse cell AND m PQ codes per vector — then
     each query ADC-scans only its ``nprobe`` probed cells. This is the
     production 10^12-vector layout: the index is (cell, codes) at
     ~8 B/vector, the raw vector column is never read at search time,
     and the scan fraction is nprobe/n_centroids of an already-32x-
-    compressed table. Probe cells and per-query LUTs ship as broadcast
-    literal LocalRelations (no driver-side corpus actions). Ranking by
-    ROUNDED adist asc then vec_id, self excluded — oracle-comparable.
-    """
+    compressed table. Probe cells and LUTs ship as a broadcast frame
+    (literal LocalRelation when plan-friendly, createDataFrame above
+    LUT_LITERAL_MAX doubles — no driver-side corpus actions either
+    way). Ranking by ROUNDED adist asc then vec_id, self excluded —
+    oracle-comparable.
+
+    ``residual=True`` (the paper's IVFADC): codes quantize the
+    RESIDUAL vec − centroid[cell] (train the books with
+    ``train_pq_residual``), and each query gets a LUT PER PROBED CELL
+    from q − centroid[cell] — residuals carry far less energy than
+    raw vectors, so the same code budget ranks much more accurately
+    (tools/ann_recall.py quantifies it). The index kernel is the
+    Arrow numpy pass (cell + residual codes in one batch);
+    ``residual=False`` keeps the raw-vector codes shared with
+    ``pq_encode`` and its kernel dispatch."""
     m = len(codebooks)
-    cell_impl = _resolve_impl(impl, len(centroids), len(centroids[0]))
-    enc_impl = _resolve_impl(impl, m * len(codebooks[0]),
-                             len(codebooks[0][0]))
     d_sub = len(codebooks[0][0])
-    if enc_impl == "arrow":
-        codes = pq_encode_arrow(codebooks)(F.col(vec_col))
+    if residual:
+        enc = ivf_pq_index_arrow(centroids, codebooks)(F.col(vec_col))
+        index = (emb.select(F.col(id_col).alias("vec_id"),
+                            enc.alias("_e"))
+                 .select("vec_id", F.col("_e.cell").alias("_c"),
+                         F.col("_e.codes").alias("codes")))
     else:
-        codes = F.array(*[
-            _nearest_code(F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
-                          codebooks[s])
-            for s in range(m)])
-    index = emb.select(F.col(id_col).alias("vec_id"),
-                       _assign(vec_col, centroids, cell_impl).alias("_c"),
-                       codes.alias("codes"))
+        cell_impl = _resolve_impl(impl, len(centroids),
+                                  len(centroids[0]))
+        enc_impl = _resolve_impl(impl, m * len(codebooks[0]), d_sub)
+        if enc_impl == "arrow":
+            codes = pq_encode_arrow(codebooks)(F.col(vec_col))
+        else:
+            codes = F.array(*[
+                _nearest_code(F.slice(F.col(vec_col), s * d_sub + 1,
+                                      d_sub), codebooks[s])
+                for s in range(m)])
+        index = emb.select(
+            F.col(id_col).alias("vec_id"),
+            _assign(vec_col, centroids, cell_impl).alias("_c"),
+            codes.alias("codes"))
     qrows = queries.collect()
     spark = emb.sparkSession
     if not qrows:
         return (index.select(F.lit(0).cast("long").alias("query_id"),
                              F.col("vec_id"), F.lit(0).alias("rank"),
                              F.lit(0.0).alias("adist")).limit(0))
-    probe, luts = [], []
+    probe_luts = []
     for q in qrows:
         qv = list(q["qvec"])
         qn = math.sqrt(sum(x * x for x in qv)) or 1.0
@@ -887,19 +982,23 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame, centroids: list,
         for i, c in enumerate(centroids):
             cn = math.sqrt(sum(x * x for x in c)) or 1.0
             sims.append((sum(a * b for a, b in zip(qv, c)) / (qn * cn), i))
+        raw_lut = None if residual else pq_luts(qv, codebooks)
         for _, i in sorted(sims, reverse=True)[:nprobe]:
-            probe.append((q["query_id"], i))
-        luts.append((q["query_id"], pq_luts(qv, codebooks)))
-    probe_df = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(int(qid)).cast("long").alias("query_id"),
-                 F.lit(int(c)).cast("int").alias("_c"))
-        for qid, c in probe])))
-    lut_df = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(int(qid)).cast("long").alias("query_id"),
-                 _lit_matrix(lut).alias("_lut"))
-        for qid, lut in luts])))
-    cand = (index.join(F.broadcast(probe_df), "_c")
-            .join(F.broadcast(lut_df), "query_id"))
+            lut = (pq_luts([a - b for a, b in zip(qv, centroids[i])],
+                           codebooks) if residual else raw_lut)
+            probe_luts.append((int(q["query_id"]), int(i), lut))
+    n_lits = len(probe_luts) * m * len(codebooks[0])
+    if n_lits <= LUT_LITERAL_MAX:
+        pl_df = spark.range(1).select(F.inline(F.array(*[
+            F.struct(F.lit(qid).cast("long").alias("query_id"),
+                     F.lit(c).cast("int").alias("_c"),
+                     _lit_matrix(lut).alias("_lut"))
+            for qid, c, lut in probe_luts])))
+    else:
+        pl_df = spark.createDataFrame(
+            probe_luts,
+            "query_id long, _c int, _lut array<array<double>>")
+    cand = index.join(F.broadcast(pl_df), "_c")
     adist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
         lambda acc, s: acc + F.element_at(

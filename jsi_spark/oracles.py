@@ -359,7 +359,7 @@ def ann_ivf_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
     return _topk_rows(cand, vecs, k)
 
 
-def ann_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, m=8, n_codes=16):
+def ann_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, m=8, n_codes=64):
     """Golden for ops.similarity.pq_topk: codebook training and the
     ADC lookup tables are the ENGINE'S OWN driver-side functions
     (train_pq / pq_luts — shared verbatim, same rationale as
@@ -419,68 +419,41 @@ def ann_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, m=8, n_codes=16):
 
 
 def ann_ivf_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
-                    nprobe=3, m=8, n_codes=16):
-    """Golden for ops.similarity.ivf_pq_topk: coarse cells exactly as
-    ann_ivf_rows (train_quantizer shared verbatim + kernel-dispatch
-    assignment mirror), PQ codes and LUTs exactly as ann_pq_rows
-    (train_pq / pq_luts shared verbatim + encode mirror); candidates =
-    vectors in each query's nprobe best cells (driver-side cosine over
-    centroid list, same float order as the engine), ADC-scored and
-    ranked by (adist asc, vec_id asc), self excluded."""
+                    nprobe=3, m=8, n_codes=64):
+    """Golden for ops.similarity.ivf_pq_topk (IVFADC, residual=True):
+    coarse quantizer, residual codebooks, cell assignment and LUTs are
+    all the ENGINE'S OWN driver/numpy functions (train_quantizer,
+    train_pq_residual, assign_cells_np, pq_luts — shared verbatim);
+    the oracle re-runs the same numpy index pass (cell + residual
+    codes per vector), probes each query's nprobe best cells
+    (driver-side cosine over the centroid list, same float order as
+    the engine), builds a residual LUT PER PROBED CELL, ADC-scores
+    and ranks by (adist asc, vec_id asc), self excluded."""
     from jsi_spark.ops.similarity import (
-        pq_luts, train_pq, train_quantizer, use_arrow_impl,
+        assign_cells_np, pq_luts, train_pq_residual, train_quantizer,
     )
 
     vecs = dict(emb)
-    refined = train_quantizer([(i, list(v)) for i, v in emb], n_centroids)
-    dim = len(refined[0])
-    if use_arrow_impl(n_centroids, dim):
-        mat = np.asarray([v for _, v in emb], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        assigned = list(np.argmax(
-            (mat @ np.asarray(refined, dtype=np.float64).T) / norms,
-            axis=1))
-    else:
-        assigned = []
-        for _, v in emb:
-            nv = _norm(v)
-            best_i, best_s = 0, -1e30
-            for j, c in enumerate(refined):
-                s = _dot(v, c) / nv
-                if s > best_s:
-                    best_i, best_s = j, s
-            assigned.append(best_i)
+    sample = [(i, list(v)) for i, v in emb]
+    refined = train_quantizer(sample, n_centroids)
+    books = train_pq_residual(sample, refined, m, n_codes)
+
+    mat = np.asarray([v for _, v in emb], dtype=np.float64)
+    cmat = np.asarray(refined, dtype=np.float64)
+    assigned = assign_cells_np(mat, cmat)
+    resid = mat - cmat[assigned]
+    d_sub = len(books[0][0])
+    codes_cols = []
+    for s in range(m):
+        sub = resid[:, s * d_sub:(s + 1) * d_sub]
+        bm = np.asarray(books[s], dtype=np.float64)
+        d2 = ((sub[:, None, :] - bm[None, :, :]) ** 2).sum(axis=2)
+        codes_cols.append(np.argmin(d2, axis=1))
+    codes = {vid: [int(codes_cols[s][i]) for s in range(m)]
+             for i, (vid, _) in enumerate(emb)}
     cells = defaultdict(list)
     for (vec_id, _), c in zip(emb, assigned):
         cells[int(c)].append(vec_id)
-
-    books = train_pq([(i, list(v)) for i, v in emb], m, n_codes)
-    d_sub = len(books[0][0])
-    if use_arrow_impl(m * n_codes, d_sub):
-        mat = np.asarray([v for _, v in emb], dtype=np.float64)
-        codes_cols = []
-        for s in range(m):
-            sub = mat[:, s * d_sub:(s + 1) * d_sub]
-            bm = np.asarray(books[s], dtype=np.float64)
-            d2 = ((sub[:, None, :] - bm[None, :, :]) ** 2).sum(axis=2)
-            codes_cols.append(np.argmin(d2, axis=1))
-        codes = {vid: [int(codes_cols[s][i]) for s in range(m)]
-                 for i, (vid, _) in enumerate(emb)}
-    else:
-        codes = {}
-        for vid, v in emb:
-            row = []
-            for s in range(m):
-                sub = v[s * d_sub:(s + 1) * d_sub]
-                best_i, best_d = 0, 1e30
-                for j, c in enumerate(books[s]):
-                    d2 = 0.0
-                    for x, y in zip(sub, c):
-                        d2 += (x - y) * (x - y)
-                    if d2 < best_d:
-                        best_i, best_d = j, d2
-                row.append(best_i)
-            codes[vid] = row
 
     rows = []
     for q in query_ids:
@@ -490,18 +463,17 @@ def ann_ivf_pq_rows(emb, query_ids=(0, 1, 2, 3, 4), k=5, n_centroids=8,
         for i, c in enumerate(refined):
             cn = math.sqrt(sum(x * x for x in c)) or 1.0
             sims.append((sum(a * b for a, b in zip(qv, c)) / (qn * cn), i))
-        cand = set()
-        for _, i in sorted(sims, reverse=True)[:nprobe]:
-            cand.update(cells.get(i, ()))
-        luts = pq_luts(qv, books)
         scored = []
-        for vid in cand:
-            if vid == q:
-                continue
-            d = 0.0
-            for s in range(m):
-                d += luts[s][codes[vid][s]]
-            scored.append((_round6(d), vid))
+        for _, i in sorted(sims, reverse=True)[:nprobe]:
+            luts = pq_luts([a - b for a, b in zip(qv, refined[i])],
+                           books)
+            for vid in cells.get(i, ()):
+                if vid == q:
+                    continue
+                d = 0.0
+                for s in range(m):
+                    d += luts[s][codes[vid][s]]
+                scored.append((_round6(d), vid))
         scored.sort()
         for rank, (d, vid) in enumerate(scored[:k], start=1):
             rows.append((q, vid, rank, d))

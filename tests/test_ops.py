@@ -825,7 +825,7 @@ def test_ann_pq_matches_golden(spark):
 
     from jsi_spark.ops.similarity import make_queries, pq_codebooks, pq_topk
     emb_df = entrymod._emb_double(spark, SF_DIR).repartition(13)
-    books = pq_codebooks(emb_df, m=8, n_codes=16)
+    books = pq_codebooks(emb_df, m=8, n_codes=64)
     got2 = sorted(tuple(r) for r in pq_topk(
         emb_df, make_queries(emb_df, entrymod.ANN_QUERY_IDS),
         books, k=5).collect())
@@ -850,7 +850,7 @@ def test_ann_ivf_pq_matches_golden(spark):
     assert len(got) == 25
 
     from jsi_spark.ops.similarity import (
-        ivf_pq_topk, train_pq, train_quantizer,
+        ivf_pq_topk, train_pq_residual, train_quantizer,
     )
     rng = random.Random(23)
     base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
@@ -859,7 +859,7 @@ def test_ann_ivf_pq_matches_golden(spark):
     emb_df = spark.createDataFrame(rows,
                                    "vec_id long, embedding array<double>")
     cents = train_quantizer(rows, 4)
-    books = train_pq(rows, m=4, n_codes=8)
+    books = train_pq_residual(rows, cents, m=4, n_codes=8)
     q = emb_df.filter("vec_id = 0").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"))
