@@ -801,11 +801,15 @@ def pq_luts(qvec: list, codebooks: list) -> list:
 
 
 # above this many LUT doubles, a literal inline() frame costs more in
-# Catalyst plan size (every double is an unrolled Literal node —
-# measured 96 s wall for 50 queries x 16x256 LUTs) than one
-# Python-backed LocalRelation scan; below it, the literal avoids the
-# extra stage entirely (see the ivf_topk probe-frame note)
-LUT_LITERAL_MAX = 8192
+# Catalyst plan size (every double is an unrolled Literal node) than
+# one Python-backed LocalRelation scan; below it, the literal avoids
+# the extra stage entirely (see the ivf_topk probe-frame note, where
+# the frame is nprobe x |queries| ints). Measured at sf0.1 (warm,
+# min-of-3): 2,560 doubles — literal 2.05 s vs createDataFrame 1.13 s;
+# 7,680 — 4.46 vs 1.12; 50 queries x 16x256 literals took 96 s of pure
+# planning. The unroll cost is superlinear, so the literal only wins
+# for probe-sized frames.
+LUT_LITERAL_MAX = 512
 
 
 def _lut_df(spark, rows: list) -> DataFrame:
