@@ -34,6 +34,7 @@ from jsi_spark.ops.dedup import (
     benchmark_overlap, duplicate_clusters, duplicate_clusters_star,
     exact_duplicates,
     minhash_near_duplicates, ngram_jaccard_pairs, simhash_candidates,
+    substring_dup_spans,
 )
 from jsi_spark.ops.dedup import _persist as _persist_op
 from jsi_spark.ops.multimodal import (
@@ -505,6 +506,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs(docs, id_col="doc_id", content_col="text",
                               shingle_n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style per-doc duplicated-window coverage (k=8 token
+    windows; Lee et al. arXiv:2107.06499). See
+    ops/dedup.substring_dup_spans."""
+    docs = _read(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, id_col="doc_id",
+                               content_col="text", k=8)
 
 
 #: session-scoped memo of the MinHash near-dup pairs frame, keyed by
@@ -1168,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "decontamination": q_decontamination,
         "ngram_jaccard": q_ngram_jaccard,
+        "substring_dup_spans": q_substring_dup_spans,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1355,6 +1366,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """
+
+    # ExactSubstr coverage, k=8: identical tokenization to jaccard_sql;
+    # DuckDB groups the window TEXT where Spark groups (xxhash64, len) —
+    # same collision posture as dedup_exact's oracle
+    substring_sql = """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+          FROM documents),
+        occ AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(t[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)],
+                                 ' ') AS g
+          FROM toks, UNNEST(range(1, GREATEST(len(t) - 7, 0) + 1)) AS u(i)),
+        dups AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) > 1),
+        cov AS (
+          SELECT o.doc_id, o.pos,
+                 LEAST(8, COALESCE(LEAD(o.pos) OVER (
+                     PARTITION BY o.doc_id ORDER BY o.pos) - o.pos, 8)) AS c
+          FROM occ o JOIN dups d USING (g)),
+        agg AS (SELECT doc_id, COUNT(*) AS ndw, SUM(c) AS cov
+                FROM cov GROUP BY doc_id)
+        SELECT tk.doc_id,
+               CAST(GREATEST(len(tk.t) - 7, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(a.ndw, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(a.cov, 0) AS BIGINT) AS covered_tokens,
+               ROUND(COALESCE(a.cov, 0) * 1.0 / len(tk.t), 6)
+                 AS dup_token_fraction
+        FROM toks tk LEFT JOIN agg a USING (doc_id)
     """
 
     decontam_sql = """
@@ -1653,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
                     = 1) AS is_canonical
             FROM c""",
         "ngram_jaccard": jaccard_sql,
+        "substring_dup_spans": substring_sql,
         "decontamination": decontam_sql,
         "ann_bruteforce": ann_sql,
     }

@@ -658,3 +658,89 @@ def benchmark_overlap(df: DataFrame, probe: DataFrame, shingle_n: int = 3,
             .agg(F.countDistinct("sh").alias("n_hits"),
                  F.countDistinct("_pid").alias("n_probe_docs"))
             .select(F.col("_id").alias(id_col), "n_hits", "n_probe_docs"))
+
+
+# -- exact-substring duplication coverage ---------------------------------------------
+
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        content_col: str = "text", k: int = 8) -> DataFrame:
+    """Per-document exact-substring duplication coverage: the
+    distributed k-token-window realization of ExactSubstr dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — there a suffix array finds ≥50-token
+    repeats; here every k-token window is fingerprinted and a window is
+    *duplicated* when the identical token sequence occurs anywhere else
+    in the corpus, another document or another offset of the same one).
+
+    Returns one row per input document:
+      n_windows          — number of k-token windows (0 when the doc is
+                           shorter than k tokens)
+      n_dup_windows      — windows whose text occurs >1 time corpus-wide
+      covered_tokens     — tokens covered by ≥1 duplicated window
+                           (fixed-length intervals, merged)
+      dup_token_fraction — covered_tokens / token count (ROUND 6) — the
+                           "fraction of the doc that is copied text"
+                           signal used to drop or trim training docs
+
+    Scale shape: the only per-window data that shuffles is
+    (xxhash64(window), length(window), doc_id, pos) ≈ 24 B — the window
+    text itself stays in the map stage, built by the shifted-zip trick
+    (see word_shingles: O(k) array ops per row, not O(len·k)). Dup
+    detection is a partial-agg count over the 64-bit key (+length, same
+    collision posture as exact_duplicates) followed by a key-projected
+    join that AQE skew-splits if one boilerplate window goes hot; the
+    per-doc coverage fold is an array aggregate over that doc's dup
+    positions (bounded by the doc's own token count). Two map-side
+    scans of the text (windows + per-doc sizes), zero driver actions.
+    """
+    toks = F.split(F.lower(F.col(content_col)), r"\s+")
+    grams = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1,
+                          F.greatest(F.size(toks) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted,
+                           lambda g, t: F.concat_ws(" ", g, t))
+    # unlike word_shingles (which keeps one truncated gram so short docs
+    # still have a shingle set), a doc shorter than k tokens has ZERO
+    # full windows
+    windows = F.slice(grams, 1,
+                      F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.size(toks).cast("long").alias("_n_toks"),
+                     F.size(windows).cast("long").alias("n_windows"))
+    occ = (df.select(F.col(id_col).alias("_id"),
+                     F.posexplode(windows).alias("pos", "_g"))
+           .select("_id", "pos", F.xxhash64("_g").alias("_h"),
+                   F.length("_g").alias("_len")))
+    dup_keys = (occ.groupBy("_h", "_len")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .drop("_c"))
+    dup_occ = occ.join(dup_keys, ["_h", "_len"]).select("_id", "pos")
+
+    ps = F.sort_array(F.collect_list("pos"))
+    per_doc = dup_occ.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"), ps.alias("_ps"))
+    # covered tokens of merged fixed-length-k intervals at sorted starts
+    # s_1..s_m: sum of min(k, s_{j+1} - s_j), with the last term = k
+    nexts = F.slice(F.col("_ps"), 2,
+                    F.greatest(F.size("_ps") - 1, F.lit(0)))
+    contrib = F.zip_with(F.col("_ps"), nexts,
+                         lambda s, nx: F.least(F.lit(k),
+                                               F.coalesce(nx - s, F.lit(k))))
+    per_doc = per_doc.select(
+        "_id", "n_dup_windows",
+        F.aggregate(contrib, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("covered_tokens"))
+
+    return (base.join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+                    .alias("n_dup_windows"),
+                    F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                    .alias("covered_tokens"),
+                    F.round(F.coalesce("covered_tokens", F.lit(0))
+                            / F.col("_n_toks"), 6)
+                    .alias("dup_token_fraction")))

@@ -886,3 +886,73 @@ def test_semantic_dedup_strategies_agree(spark):
         emb, cents, threshold=0.35, max_cell_size=1000,
         strategy="grouped").collect())
     assert a == b and len(a) > 0
+
+
+# -- exact-substring duplication coverage ---------------------------------------------
+
+def _substr_golden(rows, k):
+    """Pure-Python oracle for substring_dup_spans: global window count,
+    then per-doc merged fixed-length interval coverage."""
+    from collections import Counter
+    toks = {d: t.lower().split() for d, t in rows}
+    wins = {d: [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+            for d, t in toks.items()}
+    cnt = Counter(g for ws in wins.values() for g in ws)
+    out = {}
+    for d, t in toks.items():
+        dup = [i for i, g in enumerate(wins[d]) if cnt[g] > 1]
+        covered = 0
+        for j, s in enumerate(dup):
+            nxt = dup[j + 1] if j + 1 < len(dup) else None
+            covered += k if nxt is None else min(k, nxt - s)
+        frac = round(covered / len(t), 6)
+        out[d] = (len(wins[d]), len(dup), covered, frac)
+    return out
+
+
+def test_substring_dup_spans_hand_computed(spark):
+    from jsi_spark.ops.dedup import substring_dup_spans
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"),        # shares "a b c","b c d" with doc 1
+         (1, "x a b c d y"),
+         (2, "p q"),              # shorter than k: zero windows
+         (3, "z z z z z z")],     # self-repeats: fully covered
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["covered_tokens"], r["dup_token_fraction"])
+           for r in substring_dup_spans(docs, k=3).collect()}
+    assert got[0] == (3, 2, 4, round(4 / 5, 6))
+    assert got[1] == (4, 2, 4, round(4 / 6, 6))
+    assert got[2] == (0, 0, 0, 0.0)
+    assert got[3] == (4, 4, 6, 1.0)
+
+
+def test_substring_dup_spans_matches_golden(spark, documents):
+    from jsi_spark.ops.dedup import substring_dup_spans
+    rows = [(r["doc_id"], r["text"])
+            for r in documents.select("doc_id", "text").collect()]
+    want = _substr_golden(rows, k=8)
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["covered_tokens"], r["dup_token_fraction"])
+           for r in substring_dup_spans(documents, k=8).collect()}
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # non-vacuous on testdata
+
+
+def test_substring_dup_spans_layout_independent(spark, documents):
+    from jsi_spark.ops.dedup import substring_dup_spans
+    a = sorted(map(tuple, substring_dup_spans(documents, k=8).collect()))
+    b = sorted(map(tuple, substring_dup_spans(
+        documents.repartition(7, "source"), k=8).collect()))
+    assert a == b
+
+
+def test_substring_dup_spans_plan_pure_jvm(spark, documents):
+    """The whole pipeline must stay JVM-side: no Python eval nodes, and
+    the exchange below the dup-count aggregate carries only the
+    fixed-width key projection, never the window text."""
+    from jsi_spark.ops.dedup import substring_dup_spans
+    plan = substring_dup_spans(documents, k=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
