@@ -47,7 +47,7 @@ from jsi_spark.ops.similarity import (
     ivf_pq_topk, pq_codebooks, pq_topk, semantic_dedup,
 )
 from jsi_spark.ops.sampling import stratified_cap, stratum_budget_report
-from jsi_spark.ops.text import repetition_features, text_profile
+from jsi_spark.ops.text import pii_scrub, repetition_features, text_profile
 from jsi_spark.plans.docs_schema import DOCS_JSON_SCHEMA, DOCS_SCHEMA
 from jsi_spark.session import ensure_py_files
 
@@ -379,6 +379,17 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("bpe_tokens").cast("long").alias("bpe_tokens"))
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-subword token counts: train 30 BPE merges on the corpus
+    word-frequency table, then count per-doc BPE tokens (ops/bpe.py —
+    the real-tokenizer upgrade of token_counts' regex heuristic)."""
+    from jsi_spark.ops.bpe import bpe_token_counts, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=30)
+    return bpe_token_counts(docs, merges)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return text_profile(docs).select("doc_id", "pred_lang")
@@ -392,6 +403,30 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return text_profile(docs).select("doc_id", "fingerprint")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (ops/text.pii_scrub): deterministic emails / IPv4 /
+    phone spans are planted into the word-salad corpus (doc_id-derived,
+    identical construction in the SQL oracle), then counted and replaced
+    map-side. scrub_md5 pins the full redacted text byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    aug = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.format_string(
+            " contact user%d@example.com now", i)).otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.format_string(
+            " cc admin%d@test.org", i)).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.format_string(
+            " at 10.0.%d.%d", F.pmod(i, 250), F.pmod(i, 100)))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.format_string(
+            " call 555-%03d-%04d", F.pmod(i, 1000), F.pmod(i, 10000)))
+        .otherwise(F.lit(""))).alias("text"))
+    out = pii_scrub(aug)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      F.md5("scrubbed").alias("scrub_md5"))
 
 
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,10 +1200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_value_drift": q_psi_value_drift,
         "incremental_uniqueness": q_incremental_uniqueness,
         "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
         "gopher_repetition": q_gopher_repetition,
+        "pii_scrub": q_pii_scrub,
         "source_cap": q_source_cap,
         "stream_source_cap": q_stream_source_cap,
         "stream_validation": q_stream_validation,
@@ -1395,6 +1432,42 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COALESCE(a.cov, 0) * 1.0 / len(tk.t), 6)
                  AS dup_token_fraction
         FROM toks tk LEFT JOIN agg a USING (doc_id)
+    """
+
+    # identical PII planting + identical Java∩RE2 patterns; replacement
+    # order (email → ipv4 → phone) mirrors ops/text.PII_PATTERNS
+    pii_sql = """
+        WITH aug AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN printf(
+                 ' contact user%d@example.com now', doc_id) ELSE '' END
+            || CASE WHEN doc_id % 6 = 0 THEN printf(
+                 ' cc admin%d@test.org', doc_id) ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN printf(
+                 ' at 10.0.%d.%d', doc_id % 250, doc_id % 100)
+               ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN printf(
+                 ' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000)
+               ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+            AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b'))
+            AS BIGINT) AS n_phone,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g'),
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+            '<IPV4>', 'g'),
+            '\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b',
+            '<PHONE>', 'g')) AS scrub_md5
+        FROM aug
     """
 
     decontam_sql = """
@@ -1694,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c""",
         "ngram_jaccard": jaccard_sql,
         "substring_dup_spans": substring_sql,
+        "pii_scrub": pii_sql,
         "decontamination": decontam_sql,
         "ann_bruteforce": ann_sql,
     }

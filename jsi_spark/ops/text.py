@@ -236,3 +236,41 @@ def text_profile(df: DataFrame, text_col: str = "text",
         predict_lang(t).alias("pred_lang"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"))
+
+
+# -- PII redaction --------------------------------------------------------------------
+
+#: pattern inventory deliberately restricted to syntax Java regex and
+#: RE2 (DuckDB) interpret identically: character classes, bounded
+#: repetition, \b word boundaries — no backrefs, no lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b",
+}
+
+
+def pii_scrub(df: DataFrame, content_col: str = "text",
+              patterns: dict | None = None,
+              scrubbed_col: str = "scrubbed") -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, phone-formatted
+    digit groups) and count what was removed — the pre-training scrub
+    stage of public web-corpus pipelines (e.g. the C4 / CCNet
+    postprocessing step). Appends one count column per pattern
+    (``n_<name>``) plus ``scrubbed_col`` with each match replaced by
+    ``<NAME>``.
+
+    100 TB shape: pure map-side projection — regexp_count +
+    regexp_replace chained per pattern, whole-stage codegen, zero
+    shuffle, zero Python. Patterns are restricted to the Java∩RE2
+    common dialect so the DuckDB oracle runs the very same strings.
+    """
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrub = F.col(content_col)
+    for name, pat in pats.items():
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(F.col(content_col), F.lit(pat))
+                             .cast("long"))
+        scrub = F.regexp_replace(scrub, pat, f"<{name.upper()}>")
+    return out.withColumn(scrubbed_col, scrub)

@@ -791,6 +791,48 @@ def media_wav_rows(n_media=30, sample_rate=16000):
     return rows
 
 
+# -- bpe_token_counts ----------------------------------------------------------
+
+def bpe_rows(docs, n_merges: int = 30):
+    """Reference BPE (Sennrich arXiv:1508.07909): train n_merges rules
+    on the word-frequency table (tie-break: max summed freq, then
+    lexicographically smallest pair), apply greedily left-to-right,
+    then count per-doc words and BPE tokens. Mirrors
+    ops/bpe.train_bpe + bpe_token_counts exactly."""
+    from collections import Counter
+
+    freqs: Counter = Counter()
+    for _id, text in docs:
+        for w in _tokens(text):
+            if w:
+                freqs[w] += 1
+    syms = {w: list(w) for w in freqs}
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        for w, s in syms.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    rows = []
+    for _id, text in docs:
+        ws = [w for w in _tokens(text) if w]
+        rows.append((_id, len(ws), sum(len(syms[w]) for w in ws)))
+    return sorted(rows)
+
+
 # -- VALUES-SQL rendering ------------------------------------------------------
 
 def _lit(v) -> str:
@@ -865,6 +907,9 @@ def golden_oracle_sqls(sf_dir: str = DEFAULT_SF_DIR) -> dict:
             ann_ivf_pq_rows(emb),
             ["query_id", "vec_id", "rank", "adist"],
             ["BIGINT", "BIGINT", "INTEGER", "DOUBLE"]),
+        "bpe_token_counts": values_sql(
+            bpe_rows(docs), ["doc_id", "n_words", "n_bpe_tokens"],
+            ["BIGINT", "BIGINT", "BIGINT"]),
         "media_features": values_sql(
             media_feature_rows(), ["media_ref", "media_kind", "n_frames",
                                    "dim"],

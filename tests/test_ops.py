@@ -956,3 +956,95 @@ def test_substring_dup_spans_plan_pure_jvm(spark, documents):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# -- BPE trainer / encoder ------------------------------------------------------------
+
+def test_bpe_train_hand_computed(spark):
+    """'low low lower' x freq: first merges must follow max-freq with
+    lexicographic tie-breaks, exactly as the pure-Python reference."""
+    from jsi_spark.ops.bpe import encode_words_py, train_bpe
+    docs = spark.createDataFrame(
+        [(0, "low low low lower"), (1, "low lowest low")],
+        "doc_id long, text string")
+    merges = train_bpe(docs, n_merges=4)
+    # word freqs: low x5, lower x1, lowest x1 -> all 7 words start l,o
+    # pairs r1: (l,o)=7 (o,w)=7 (w,e)=2 ... tie 7: (l,o) < (o,w)
+    assert merges[0] == ("l", "o")
+    # r2: (lo,w)=7 wins
+    assert merges[1] == ("lo", "w")
+    # r3: (low,e)=2 wins over singles
+    assert merges[2] == ("low", "e")
+    assert encode_words_py("lowest", merges[:3]) == ["lowe", "s", "t"]
+
+
+def test_bpe_matches_python_reference(spark, documents):
+    """Distributed trainer == pure-Python trainer on the real corpus,
+    and the encode query == the golden row set."""
+    from jsi_spark.oracles import bpe_rows
+    from jsi_spark.ops.bpe import bpe_token_counts, train_bpe
+    rows = [(r["doc_id"], r["text"])
+            for r in documents.select("doc_id", "text").collect()]
+    want = bpe_rows(rows, n_merges=12)
+    merges = train_bpe(documents, n_merges=12)
+    got = sorted((r["doc_id"], r["n_words"], r["n_bpe_tokens"])
+                 for r in bpe_token_counts(documents, merges).collect())
+    assert got == want
+
+
+def test_bpe_layout_independent(spark, documents):
+    from jsi_spark.ops.bpe import bpe_token_counts, train_bpe
+    m_a = train_bpe(documents, n_merges=6)
+    m_b = train_bpe(documents.repartition(7, "source"), n_merges=6)
+    assert m_a == m_b
+    a = sorted(map(tuple, bpe_token_counts(documents, m_a).collect()))
+    b = sorted(map(tuple, bpe_token_counts(
+        documents.repartition(5), m_a).collect()))
+    assert a == b
+
+
+def test_bpe_corpus_side_plan_jvm(spark, documents):
+    """The Arrow UDF may appear ONCE (vocab-side encode); the corpus
+    side (split/explode/join/sum) must be JVM, and row-at-a-time Python
+    must never appear."""
+    from jsi_spark.ops.bpe import bpe_token_counts, train_bpe
+    merges = train_bpe(documents, n_merges=3)
+    plan = bpe_token_counts(documents, merges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_bpe_irrelevant_merges_yield_char_counts(spark):
+    from jsi_spark.ops.bpe import bpe_token_counts
+    docs = spark.createDataFrame([(0, "zzq")], "doc_id long, text string")
+    # merge rules whose symbols never occur leave words as characters
+    out = bpe_token_counts(docs, [("a", "b")]).collect()
+    assert [tuple(r) for r in out] == [(0, 1, 3)]
+
+
+# -- PII redaction ----------------------------------------------------------------------
+
+def test_pii_scrub_hand_computed(spark):
+    from jsi_spark.ops.text import pii_scrub
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.co and c.d+x@e-f.org ok"),
+         (1, "ip 10.0.3.250 phone 555-123-4567 end"),
+         (2, "plain words only"),
+         (3, "8.8.8.8")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in pii_scrub(docs).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (2, 0, 0)
+    assert got[0]["scrubbed"] == "mail <EMAIL> and <EMAIL> ok"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 1, 1)
+    assert got[1]["scrubbed"] == "ip <IPV4> phone <PHONE> end"
+    assert got[2]["scrubbed"] == "plain words only"
+    assert got[3]["scrubbed"] == "<IPV4>"
+
+
+def test_pii_scrub_plan_pure_jvm(spark):
+    from jsi_spark.ops.text import pii_scrub
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
