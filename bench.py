@@ -105,11 +105,16 @@ def full_pass(spark, n_docs: int, n_media: int = 1000,
     # Size scan splits to the corpus: at 100 TB the 128 MB default gives
     # ~1M splits (correct); this bench corpus is a few hundred MB, which
     # 128 MB would pack into 2-3 splits and serialize the scan. Target
-    # ~3 splits per core, floor 4 MB.
+    # ~3 splits per core, floor 4 MB. SPARK_GRAFT_SCAN_TASKS pins an
+    # absolute split count instead — the scaling harness sets it so BOTH
+    # parallelism levels run the identical task layout (on a real
+    # cluster the split count is a property of the data and config, not
+    # of cluster size; N→4N changes slot count, not task count).
     total = sum(os.path.getsize(os.path.join(docs_path, f))
                 for f in os.listdir(docs_path) if f.endswith(".parquet"))
-    cores = spark.sparkContext.defaultParallelism
-    split = min(128 << 20, max(4 << 20, total // (3 * cores)))
+    fixed_tasks = int(os.environ.get("SPARK_GRAFT_SCAN_TASKS", "0"))
+    n_splits = fixed_tasks or 3 * spark.sparkContext.defaultParallelism
+    split = min(128 << 20, max(4 << 20, total // n_splits))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     (verdicts, violations, referential,
      flat, uniq, stats, drift) = _pass_plans(spark, docs_path, n_media)

@@ -662,6 +662,23 @@ def benchmark_overlap(df: DataFrame, probe: DataFrame, shingle_n: int = 3,
 
 # -- exact-substring duplication coverage ---------------------------------------------
 
+def substring_windows(text: Column, k: int = 8) -> Column:
+    """Positional k-token windows of whitespace-split lowercased text
+    (shifted-zip construction: O(k) array ops per row). Unlike
+    word_shingles (which keeps one truncated gram so short docs still
+    have a shingle set), a doc shorter than k tokens has ZERO windows.
+    Shared by substring_dup_spans and the scale-stress census."""
+    toks = F.split(F.lower(text), r"\s+")
+    grams = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1,
+                          F.greatest(F.size(toks) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted,
+                           lambda g, t: F.concat_ws(" ", g, t))
+    return F.slice(grams, 1,
+                   F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+
+
 def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                         content_col: str = "text", k: int = 8) -> DataFrame:
     """Per-document exact-substring duplication coverage: the
@@ -694,17 +711,7 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     scans of the text (windows + per-doc sizes), zero driver actions.
     """
     toks = F.split(F.lower(F.col(content_col)), r"\s+")
-    grams = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1,
-                          F.greatest(F.size(toks) - j, F.lit(0)))
-        grams = F.zip_with(grams, shifted,
-                           lambda g, t: F.concat_ws(" ", g, t))
-    # unlike word_shingles (which keeps one truncated gram so short docs
-    # still have a shingle set), a doc shorter than k tokens has ZERO
-    # full windows
-    windows = F.slice(grams, 1,
-                      F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    windows = substring_windows(F.col(content_col), k)
 
     base = df.select(F.col(id_col).alias("_id"),
                      F.size(toks).cast("long").alias("_n_toks"),

@@ -1,7 +1,8 @@
-"""Independently-derived golden oracles for the hash-dependent driver
-queries that plain DuckDB SQL cannot express (no xxhash64):
+"""Independently-derived golden oracles for the driver queries that
+plain DuckDB SQL cannot express (no xxhash64; no iterative training):
 minhash_near_dups, dedup_clusters, simhash_candidates, ann_lsh,
-ann_ivf, ann_pq, emb_near_dups, semantic_dedup, media_features.
+ann_ivf, ann_pq, emb_near_dups, semantic_dedup, media_features,
+bpe_token_counts.
 
 Each oracle recomputes the expected result in pure Python/numpy from the
 OPERATOR DEFINITIONS (MinHash banding, SimHash majority vote, sign-LSH,

@@ -2,7 +2,7 @@
 and sf1-equivalent corpora, confirming bucket caps and df-filters keep
 candidate-pair counts OUTPUT-sensitive (not O(n²)) as the corpus grows.
 
-Runs the six dedup/similarity driver queries (the exact functions in
+Runs the seven dedup/similarity driver queries (the exact functions in
 __spark_entry__.queries()) over deterministic synthetic corpora
 (jsi_spark.datagen.gen_text_corpus / gen_vec_corpus — documents/
 embeddings schema with controlled duplicate structure, incl. a hot
@@ -14,7 +14,10 @@ max_bucket_size caps MUST drop), at n and 10n rows, and publishes:
   MinHash band buckets, SimHash chunk buckets, sign-LSH embedding
   buckets, and SemDeDup k-means cells (n_centroids scaled with the
   corpus, the production rule) — with implied pre-cap vs post-cap
-  pair counts.
+  pair counts;
+- the occurrence-multiplicity census for substring windows (a linear
+  op — no self-join, so no cap; the census shows dup mass stays
+  occurrence-bounded).
 
 A query is scale-clean when time and rows grow ~linearly (ratio ≲ 10x
 for a 10x corpus; pair outputs may grow slightly faster since near-dup
@@ -43,6 +46,7 @@ from jsi_spark.datagen import gen_text_corpus, gen_vec_corpus  # noqa: E402
 from jsi_spark.io.tableio import parquet_num_rows  # noqa: E402
 from jsi_spark.ops.dedup import (  # noqa: E402
     minhash_band_buckets, release_caches, simhash_chunk_buckets,
+    substring_windows,
 )
 from jsi_spark.ops.similarity import (  # noqa: E402
     ivf_centroids, lsh_bucket_assignments, lsh_tables, near_dup_planes,
@@ -54,7 +58,8 @@ BASE_DOCS = 5_000      # sf0.1-equivalent documents rows
 BASE_VECS = 2_000      # sf0.1-equivalent embeddings rows
 
 QUERIES = ["ngram_jaccard", "minhash_near_dups", "dedup_clusters",
-           "simhash_candidates", "emb_near_dups", "semantic_dedup"]
+           "simhash_candidates", "emb_near_dups", "semantic_dedup",
+           "substring_dup_spans"]
 
 # caps as used by the driver queries (__spark_entry__.py)
 MINHASH_CAP = 200
@@ -103,6 +108,25 @@ def size_census(assign, keys, cap):
             "pairs_post_cap": int(agg["post"]),
             "over_cap_buckets": int(agg["over"]),
             "max_bucket": int(agg["maxb"])}
+
+
+def occurrence_census(occ, keys):
+    """Multiplicity histogram for a LINEAR op (substring windows): dup
+    handling is count>1 + a key join, so cost scales with occurrences,
+    never with pairs — no cap needed; the census shows the dup mass and
+    the hottest window stay occurrence-bounded as the corpus grows."""
+    sizes = (occ.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+             .select("n").cache())
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("distinct"),
+        F.sum("n").alias("occurrences"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+        .alias("dup_occurrences"),
+        F.max("n").alias("max_multiplicity")).collect()[0]
+    sizes.unpersist()
+    return {k: int(agg[k]) for k in
+            ("distinct", "occurrences", "dup_occurrences",
+             "max_multiplicity")}
 
 
 def main():
@@ -171,6 +195,15 @@ def main():
         sc = semantic_cell_assignments(emb, cents)
         res["census"]["sem_cells"] = size_census(sc, ["cell"],
                                                  SEM_CELL_CAP)
+        release_caches()
+        # substring windows: a LINEAR op (no self-join) — census is the
+        # occurrence multiplicity, not pairs
+        occ = (docs.select(F.explode(
+                   substring_windows(F.col("text"), 8)).alias("g"))
+               .select(F.xxhash64("g").alias("_h"),
+                       F.length("g").alias("_len")))
+        res["census"]["substring_windows"] = occurrence_census(
+            occ, ["_h", "_len"])
         release_caches()
         for fam, cen in res["census"].items():
             print(json.dumps({"scale": scale, "census": fam, **cen}),
