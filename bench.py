@@ -15,8 +15,9 @@ Per-query timings run every __spark_entry__.queries() entry against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Each query is forced
 with the noop sink so column pruning can't skip the measured work.
 
-Scaling evidence (north_rule: ≥0.8 efficiency N→4N): run this script
-twice with SPARK_GRAFT_CPUS=8 and =32 on the same inputs; see
+Scaling evidence (north_rule: ≥0.8 efficiency N→4N): BENCH/scaling.py
+runs full_pass at local[N] vs local[4N] (interleaved warm JVMs, fixed
+task layout, same-session pure-CPU ceiling) and writes
 BENCH/BASELINE.md.
 """
 
