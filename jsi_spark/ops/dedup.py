@@ -713,13 +713,21 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     toks = F.split(F.lower(F.col(content_col)), r"\s+")
     windows = substring_windows(F.col(content_col), k)
 
+    # n_windows arithmetically — size(windows) would evaluate the whole
+    # k-layer zip chain per row just to read its length
     base = df.select(F.col(id_col).alias("_id"),
                      F.size(toks).cast("long").alias("_n_toks"),
-                     F.size(windows).cast("long").alias("n_windows"))
-    occ = (df.select(F.col(id_col).alias("_id"),
-                     F.posexplode(windows).alias("pos", "_g"))
-           .select("_id", "pos", F.xxhash64("_g").alias("_h"),
-                   F.length("_g").alias("_len")))
+                     F.greatest(F.size(toks).cast("long") - (k - 1),
+                                F.lit(0).cast("long")).alias("n_windows"))
+    # persisted: BOTH consumers (dup-count agg, dup-occ join) read this
+    # narrow fixed-width projection — without it each re-evaluates the
+    # k-layer window chain from the scan (same trade as the minhash
+    # banded projection; ~28 B/window, released via release_caches)
+    occ = _persist(
+        df.select(F.col(id_col).alias("_id"),
+                  F.posexplode(windows).alias("pos", "_g"))
+        .select("_id", "pos", F.xxhash64("_g").alias("_h"),
+                F.length("_g").alias("_len")))
     dup_keys = (occ.groupBy("_h", "_len")
                 .agg(F.count(F.lit(1)).alias("_c"))
                 .filter(F.col("_c") > 1)
