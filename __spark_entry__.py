@@ -16,6 +16,7 @@ can reproduce the same rows in ANSI SQL: violation classes are keyed on
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -467,6 +468,31 @@ def q_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: streaming quota: differs from SOURCE_CAP so the two caps can't mask
 #: each other in a mixed-up oracle
 STREAM_CAP = 15
+
+
+@contextlib.contextmanager
+def _pinned_conf(spark: SparkSession, **confs):
+    """Temporarily pin session confs for one query, restoring the
+    ambient values after. Used where a query's OUTPUT would otherwise
+    depend on the harness session's configuration — e.g. the streaming
+    window queries, whose epoch win_start goes through a
+    TIMESTAMP_NTZ→TIMESTAMP cast and F.window().start, both of which
+    read spark.sql.session.timeZone. Pinning UTC here makes the result
+    identical under any ambient session timezone (the DuckDB oracles
+    are tz-free: epoch()/date_trunc() on the NTZ value)."""
+    saved = {}
+    for key, val in confs.items():
+        k = key.replace("__", ".")
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, val)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _stream_src_dir(sf_dir: str, table: str, tag: str) -> str:
@@ -998,36 +1024,38 @@ def q_stream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")).schema
     valid_udf = valid_json_udf(compile_schema(PROPS_JSON_SCHEMA))
-    # parquet ts is TIMESTAMP_NTZ; watermarks require an instant —
-    # interpret wall time in the session's pinned UTC
-    agg = (spark.readStream.schema(schema).parquet(src_dir)
-           .select(F.col("ts").cast("timestamp").alias("ts"),
-                   valid_udf(F.col("props")).alias("valid"))
-           .withWatermark("ts", "1 hour")
-           .groupBy(F.window("ts", "1 hour").alias("w"))
-           .agg(F.count(F.lit(1)).alias("events"),
-                F.sum(F.col("valid").cast("long")).alias("passed"),
-                F.sum((~F.col("valid")).cast("long")).alias("failed"))
-           .select(F.col("w.start").cast("long").alias("win_start"),
-                   "events", "passed", "failed"))
     name = "sv_" + uuid.uuid4().hex[:12]
-    # state partitions sized to the state, not the batch default: the
-    # stream keeps one state-store instance per shuffle partition per
-    # micro-batch — 96 stores for ~720 hourly windows is pure overhead
-    # (measured 3.6 s -> 2.7 s at sf0.1). On a real cluster this knob
-    # is sized once to the cluster at stream start (it is frozen into
-    # the checkpoint).
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # Pinned confs, restored after the drain:
+    # - session.timeZone=UTC: parquet ts is TIMESTAMP_NTZ; the cast to
+    #   an instant and window().start both read the SESSION timezone.
+    #   The query's output embeds those epochs, so it must not inherit
+    #   the ambient (harness) session tz — pin UTC so win_start always
+    #   equals the tz-free DuckDB oracle (epoch(date_trunc('hour',ts))).
+    # - shuffle.partitions=8: state partitions sized to the state, not
+    #   the batch default — the stream keeps one state-store instance
+    #   per shuffle partition per micro-batch; 96 stores for ~720
+    #   hourly windows is pure overhead (measured 3.6 s -> 2.7 s at
+    #   sf0.1). On a real cluster this knob is sized once at stream
+    #   start (it is frozen into the checkpoint).
+    with _pinned_conf(spark,
+                      spark__sql__session__timeZone="UTC",
+                      spark__sql__shuffle__partitions="8"):
+        agg = (spark.readStream.schema(schema).parquet(src_dir)
+               .select(F.col("ts").cast("timestamp").alias("ts"),
+                       valid_udf(F.col("props")).alias("valid"))
+               .withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("events"),
+                    F.sum(F.col("valid").cast("long")).alias("passed"),
+                    F.sum((~F.col("valid")).cast("long")).alias("failed"))
+               .select(F.col("w.start").cast("long").alias("win_start"),
+                       "events", "passed", "failed"))
         q = (agg.writeStream.outputMode("complete").format("memory")
              .queryName(name)
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix="sv_ckpt_"))
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -1098,25 +1126,27 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = _stream_src_dir(sf_dir, "events", "pd")
     schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")).schema
-    stream = (spark.readStream.schema(schema).parquet(src_dir)
-              .select(F.col("ts").cast("timestamp").alias("ts"), "value"))
-    counts = windowed_bin_counts(stream, "ts", "value",
-                                 STREAM_PSI_EDGES,
-                                 window="1 day", watermark="1 day")
     name = "pd_" + uuid.uuid4().hex[:12]
-    # state partitions sized to the state (~30 days × 8 buckets), same
-    # rationale as q_stream_validation
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # timeZone=UTC: win_start embeds an NTZ→instant cast + daily
+    # window().start, both session-tz-dependent — pin so the output
+    # matches the tz-free oracle under any harness session (same
+    # exposure as q_stream_validation). shuffle.partitions=8: state
+    # partitions sized to the state (~30 days × 8 buckets).
+    with _pinned_conf(spark,
+                      spark__sql__session__timeZone="UTC",
+                      spark__sql__shuffle__partitions="8"):
+        stream = (spark.readStream.schema(schema).parquet(src_dir)
+                  .select(F.col("ts").cast("timestamp").alias("ts"),
+                          "value"))
+        counts = windowed_bin_counts(stream, "ts", "value",
+                                     STREAM_PSI_EDGES,
+                                     window="1 day", watermark="1 day")
         q = (counts.writeStream.outputMode("complete").format("memory")
              .queryName(name)
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix="pd_ckpt_"))
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return psi_per_window(spark.table(name))
 
 

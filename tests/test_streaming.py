@@ -258,3 +258,54 @@ def test_windowed_bin_counts_streaming_state_shape(spark, tmp_path):
         .select(F.col("w.start").cast("long").alias("win_start"),
                 "bucket", "n")).collect())
     assert got == want and len(got) == 3 * 4  # 3 days x 4 occupied bins
+
+
+def test_stream_queries_invariant_to_ambient_session_timezone(spark):
+    """Harness-invariance (round-4 verdict #1): the driver's gate runs
+    the entry queries under ITS OWN SparkSession, whose
+    spark.sql.session.timeZone may not be UTC. The two streaming
+    queries whose output embeds epoch win_start values
+    (stream_validation, stream_psi_drift) must pin UTC internally so
+    the NTZ→instant cast and window().start do not drift with the
+    ambient tz. Run both under a deliberately non-UTC ambient session
+    and assert exact parity with the tz-free DuckDB oracles; also
+    assert the ambient tz is restored afterwards."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+
+    def norm(v):
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    def key(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    ambient = "America/New_York"  # non-UTC, DST-bearing
+    spark.conf.set("spark.sql.session.timeZone", ambient)
+    try:
+        for name in ("stream_validation", "stream_psi_drift"):
+            df = E.queries()[name](spark, sf)
+            srows, scols = [tuple(r) for r in df.collect()], df.columns
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            assert len(srows) == len(orows), name
+            assert key(srows, scols) == key(orows, ocols), name
+            # and the query restored the ambient session tz
+            assert (spark.conf.get("spark.sql.session.timeZone")
+                    == ambient), name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
