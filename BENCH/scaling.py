@@ -230,11 +230,19 @@ def cpu_ceiling(n: int, rows: int = 1_000_000_000) -> dict:
     for cores in (n, 4 * n):
         code = CALIB_CHILD.format(repo=REPO, cores=cores, rows=rows,
                                   parts=cores * 4)
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=900)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            return None
         for line in r.stdout.splitlines():
             if line.startswith("CAL "):
                 out[cores] = float(line.split()[1])
+    if n not in out or 4 * n not in out:
+        # a calibration child died or printed nothing — report "no
+        # ceiling available" rather than crashing after the expensive
+        # interleaved bench already ran (headline_doc handles None)
+        return None
     speedup = out[n] / out[4 * n]
     return {"n_sec": out[n], "4n_sec": out[4 * n],
             "speedup": speedup, "ceiling": speedup / 4}
@@ -481,8 +489,10 @@ def main():
     print(json.dumps({"n_docs": n_docs, "n": n,
                       "n_sec": r_n["secs"], "4n_sec": r_4n["secs"],
                       "efficiency": round(eff, 3),
-                      "cpu_ceiling": round(calib["ceiling"], 3),
-                      "plan_relative": round(eff / calib["ceiling"], 3),
+                      "cpu_ceiling": (round(calib["ceiling"], 3)
+                                      if calib else None),
+                      "plan_relative": (round(eff / calib["ceiling"], 3)
+                                        if calib else None),
                       "out": path}))
 
 

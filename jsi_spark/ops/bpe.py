@@ -57,19 +57,83 @@ def _apply_merge(sym: Column, a: str, b: str) -> Column:
         ).otherwise(F.concat(acc, F.array(x))))
 
 
+def train_bpe_inmem(word_freq: list, n_merges: int) -> list:
+    """Driver-side trainer over a collected (word, freq) table — the
+    classic incremental Sennrich algorithm: pair counts and a
+    pair→words index are built once, and each merge round touches only
+    the words that actually contain the chosen pair. Semantics are
+    identical to the distributed loop (freq-weighted adjacent-pair
+    counts, max count with lexicographically-smallest tie-break, stop
+    below count 2, greedy left-to-right application)."""
+    from collections import Counter, defaultdict
+
+    syms = [list(w) for w, _ in word_freq]
+    freqs = [f for _, f in word_freq]
+    counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for i, sym in enumerate(syms):
+        f = freqs[i]
+        for pair in zip(sym, sym[1:]):
+            counts[pair] += f
+            index[pair].add(i)
+    merges: list = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b))
+        for i in sorted(index[(a, b)]):
+            sym, f = syms[i], freqs[i]
+            for pair in zip(sym, sym[1:]):
+                counts[pair] -= f
+                if counts[pair] <= 0:
+                    del counts[pair]
+                index[pair].discard(i)
+            out: list = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[i] = out
+            for pair in zip(out, out[1:]):
+                counts[pair] += f
+                index[pair].add(i)
+    return merges
+
+
 def train_bpe(df: DataFrame, n_merges: int = 30,
               content_col: str = "text",
-              checkpoint_every: int = 1) -> list:
+              checkpoint_every: int = 1,
+              driver_vocab_max: int = 65536) -> list:
     """Learn ``n_merges`` BPE merge rules. Returns [(a, b), ...] in
     application order. Stops early when no adjacent pair repeats.
 
     Tie-break: highest summed frequency, then lexicographically
-    smallest (a, b) — binary UTF-8 order on both engines, so goldens
-    written in plain Python agree."""
-    wf = (word_freqs(df, content_col)
-          .select("freq", F.split("word", "").alias("sym"))
+    smallest (a, b) — binary UTF-8 order on both engines (Python str
+    comparison is code-point order, which UTF-8 byte order preserves),
+    so goldens written in plain Python agree.
+
+    Scale dispatch: the (word, freq) table is Zipf-bounded, so after
+    the one corpus scan it is PROBED with limit(driver_vocab_max + 1);
+    if the whole table came back it is trained on the driver
+    (``train_bpe_inmem`` — this is how production BPE trainers run:
+    word counts fit in one machine's memory even for web-scale
+    corpora, and 30 merge rounds cost zero cluster jobs). Only a
+    vocabulary too large to collect takes the distributed
+    one-small-job-per-round loop below; both paths produce identical
+    merges. ``driver_vocab_max=0`` forces the distributed loop."""
+    wf0 = word_freqs(df, content_col)
+    if driver_vocab_max > 0:
+        head = wf0.limit(driver_vocab_max + 1).collect()
+        if len(head) <= driver_vocab_max:
+            return train_bpe_inmem(
+                [(r["word"], r["freq"]) for r in head], n_merges)
+    wf = (wf0.select("freq", F.split("word", "").alias("sym"))
           .localCheckpoint())
-    merges: list = []
+    merges = []
     for i in range(n_merges):
         nxt = F.slice("sym", 2, F.greatest(F.size("sym") - 1, F.lit(0)))
         pairs = (wf.select("freq", F.explode(
@@ -126,15 +190,23 @@ def bpe_token_counts(df: DataFrame, merges: list,
     is Zipf-bounded, not broadcast-forced (AQE broadcasts it when it
     fits; at 10^8 words it shuffle-joins on the word key). Unseen words
     (encoder applied to a different corpus than the trainer) fall back
-    to character count — exactly what zero learned merges produce."""
+    to character count — exactly what zero learned merges produce.
+    Documents whose text tokenizes to zero words (empty or
+    whitespace-only) still emit a (doc_id, 0, 0) row: the per-doc
+    aggregate is left-joined back onto the id frame — the same
+    base-frame pattern substring_dup_spans uses."""
     words = (df.select(F.col(id_col).alias("_id"), F.explode(
                 F.split(F.lower(F.col(content_col)), r"\s+")).alias("word"))
              .filter(F.col("word") != ""))
     vocab = (words.select("word").distinct()
              .select("word", _n_tokens_udf(merges)("word").alias("_nt")))
-    return (words.join(vocab, "word", "left")
-            .groupBy("_id")
-            .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.sum(F.coalesce("_nt", F.length("word")))
-                 .alias("n_bpe_tokens"))
-            .select(F.col("_id").alias(id_col), "n_words", "n_bpe_tokens"))
+    agg = (words.join(vocab, "word", "left")
+           .groupBy("_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.coalesce("_nt", F.length("word")))
+                .alias("n_bpe_tokens")))
+    return (df.select(F.col(id_col).alias("_id")).join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0))
+                    .alias("n_bpe_tokens")))

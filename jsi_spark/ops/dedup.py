@@ -704,7 +704,12 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     text itself stays in the map stage, built by the shifted-zip trick
     (see word_shingles: O(k) array ops per row, not O(len·k)). Dup
     detection is a partial-agg count over the 64-bit key (+length, same
-    collision posture as exact_duplicates) followed by a key-projected
+    collision posture as exact_duplicates: a (xxhash64, length)
+    collision between DISTINCT same-length windows would mark false
+    duplicates — the one place the Spark definition is hash-equality
+    while the SQL oracle groups the full window text; at ~2^32 windows
+    per birthday collision, accepted and documented rather than paid
+    for with a text-equality confirm join) followed by a key-projected
     join that AQE skew-splits if one boilerplate window goes hot; the
     per-doc coverage fold is an array aggregate over that doc's dup
     positions (bounded by the doc's own token count). Two map-side

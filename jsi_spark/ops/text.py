@@ -264,6 +264,14 @@ def pii_scrub(df: DataFrame, content_col: str = "text",
     regexp_replace chained per pattern, whole-stage codegen, zero
     shuffle, zero Python. Patterns are restricted to the Java∩RE2
     common dialect so the DuckDB oracle runs the very same strings.
+
+    Overlap semantics: each ``n_<name>`` counts matches of that pattern
+    on the ORIGINAL text, while replacements chain — so a span matching
+    two patterns (phone-shaped digits inside an email local-part) is
+    counted under both names although only the first pattern's token
+    survives in ``scrubbed_col``; sum(n_*) may exceed the number of
+    redacted spans. The oracle mirrors this exactly (counts on the raw
+    text, replacements applied in the same pattern order).
     """
     pats = patterns or PII_PATTERNS
     out = df

@@ -987,6 +987,9 @@ def test_bpe_matches_python_reference(spark, documents):
             for r in documents.select("doc_id", "text").collect()]
     want = bpe_rows(rows, n_merges=12)
     merges = train_bpe(documents, n_merges=12)
+    # the driver-side and distributed trainers must learn identical
+    # rules (driver_vocab_max=0 forces the distributed loop)
+    assert train_bpe(documents, n_merges=12, driver_vocab_max=0) == merges
     got = sorted((r["doc_id"], r["n_words"], r["n_bpe_tokens"])
                  for r in bpe_token_counts(documents, merges).collect())
     assert got == want
@@ -1021,6 +1024,18 @@ def test_bpe_irrelevant_merges_yield_char_counts(spark):
     # merge rules whose symbols never occur leave words as characters
     out = bpe_token_counts(docs, [("a", "b")]).collect()
     assert [tuple(r) for r in out] == [(0, 1, 3)]
+
+
+def test_bpe_empty_doc_emits_zero_row(spark):
+    """A doc whose text tokenizes to zero words still gets a
+    (doc_id, 0, 0) row — the oracle emits one, so dropping it would
+    break the driver's hash gate on a corpus with empty docs."""
+    from jsi_spark.ops.bpe import bpe_token_counts
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, ""), (2, "   ")], "doc_id long, text string")
+    out = sorted(tuple(r) for r in
+                 bpe_token_counts(docs, [("a", "b")]).collect())
+    assert out == [(0, 2, 2), (1, 0, 0), (2, 0, 0)]
 
 
 # -- PII redaction ----------------------------------------------------------------------
