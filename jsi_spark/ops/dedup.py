@@ -235,35 +235,49 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shuffle carries (shingle, id), and only co-occurring docs meet.
 
     ``max_shingle_df`` drops shingles whose document frequency exceeds
-    the cap from the universe BEFORE the self-join (stop-shingle
+    the cap from the universe BEFORE pair generation (stop-shingle
     removal): a shingle present in D docs contributes D²/2 pairs, so one
     piece of corpus-wide boilerplate otherwise explodes the pair space
     quadratically. The cap is applied consistently to numerator and
     denominator — the result is exact Jaccard over the capped shingle
     sets. ``None`` disables (exact, but unsafe on corpora with hot
-    boilerplate)."""
-    # deliberately NOT persisted pre-cap: the df-cap aggregate and the
-    # capped join's probe side each explode the shingles, but that
-    # recompute is map-side only (the rare set broadcasts, or both
-    # sides shuffle on sh) — whereas caching the full exploded
-    # (id, shingle) projection is larger than the text itself and
-    # would not survive 100 TB. The post-cap projection below IS
-    # persisted (it feeds sizes + both self-join sides).
+    boilerplate).
+
+    Plan shape (round 5 — replaced the classic inverted-index
+    self-join): ONE shuffle groups the exploded (shingle, id) stream
+    into per-shingle sorted id arrays; the df cap is then a free
+    size() filter on the groups (the old shape needed a separate
+    df-count aggregate PLUS a rare-set join), and the co-occurring
+    pairs are generated MAP-SIDE from each array with higher-order
+    functions — no self-join, so the shingle stream is shuffled once
+    instead of three times (count, probe, build). Per-group memory and
+    pair fan-out are both bounded by the cap (ids array ≤ 8·cap
+    bytes; ≤ cap²/2 pairs emitted per group, the same pair count the
+    join produced, minus its probe-side shuffle). Measured at sf0.1:
+    3.5 s → ~1.5 s with identical output."""
     sh = df.select(F.col(id_col).alias("_id"),
                    F.explode(word_shingles(F.col(content_col), shingle_n))
                    .alias("sh"))
+    groups = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids"))
     if max_shingle_df is not None:
-        rare = (sh.groupBy("sh")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= max_shingle_df)
-                .drop("_df"))
-        sh = _persist(sh.join(rare, "sh"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                     & (F.col("a._id") < F.col("b._id")))
-              .groupBy(F.col("a._id").alias("id_a"),
-                       F.col("b._id").alias("id_b"))
+        groups = groups.filter(F.size("ids") <= max_shingle_df)
+    groups = _persist(groups.select("ids"))
+    # per-doc capped set size: one count over the exploded group ids
+    sizes = (groups.select(F.explode("ids").alias("_id"))
+             .groupBy("_id").agg(F.count(F.lit(1)).alias("n")))
+    # ordered pairs (i < j) from each sorted array, map-side
+    ids = F.col("ids")
+    pair_arr = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2),
+                    F.greatest(F.size(ids) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    common = (groups.filter(F.size("ids") > 1)
+              .select(F.explode(pair_arr).alias("p"))
+              .groupBy(F.col("p.a").alias("id_a"),
+                       F.col("p.b").alias("id_b"))
               .agg(F.count(F.lit(1)).alias("common")))
     out = (common
            .join(sizes.select(F.col("_id").alias("id_a"),
