@@ -100,3 +100,38 @@ def test_golden_oracle_matches_query(spark, con, name):
 def test_all_driver_queries_have_oracles():
     """Round-2 goal: every queries() entry is oracle-gated."""
     assert set(E.oracle_sql()) == set(E.queries())
+
+
+def test_incremental_uniqueness_repeat_calls_identical(spark):
+    """The (session, sf_dir)-memoized harness state must make repeat
+    calls pure: same violation set every time (the bench times pass 2+,
+    the driver's gate may call once or twice)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    q = E.queries()["incremental_uniqueness"]
+    a = sorted(tuple(r) for r in q(spark, sf).collect())
+    b = sorted(tuple(r) for r in q(spark, sf).collect())
+    assert a == b and len(a) > 0
+
+
+def test_pinned_conf_restores_on_error(spark):
+    """_pinned_conf must restore ambient confs even when the body
+    raises — a failed streaming drain must not leak a pinned timezone
+    into the harness session."""
+    import pytest as _pytest
+
+    import __spark_entry__ as E
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    with _pytest.raises(RuntimeError):
+        with E._pinned_conf(spark,
+                            spark__sql__session__timeZone="America/Denver",
+                            spark__sql__shuffle__partitions="3"):
+            assert spark.conf.get(
+                "spark.sql.session.timeZone") == "America/Denver"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.session.timeZone") == old_tz
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
